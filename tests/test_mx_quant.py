@@ -1,0 +1,53 @@
+"""Bit-exact parity of MX block quantization against reference fixtures.
+
+Golden data from the reference's _quantize_mx (mx_ops.py:332-457).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microscopiq_tpu.ops.mx import (
+    quantize_mx,
+    reshape_to_blocks,
+    undo_reshape_to_blocks,
+)
+from helpers import assert_bitexact
+
+INPUTS = ["m2d", "m2d_small", "m3d", "zeros", "big"]
+CASES = [(fmt, sb, bs, ax)
+         for fmt in ["int8", "fp6_e3m2", "fp4_e2m1", "int2"]
+         for sb in [4, 8]
+         for bs in [0, 16, 32]
+         for ax in [0, -1]]
+
+
+@pytest.mark.parametrize("name", INPUTS)
+@pytest.mark.parametrize("fmt,sb,bs,ax", CASES)
+def test_mx_parity(golden_mx, name, fmt, sb, bs, ax):
+    key = f"{name}|{fmt}|sb{sb}|bs{bs}|ax{ax}"
+    a = golden_mx[f"in_{name}"]
+    want = golden_mx[key]
+    got = quantize_mx(jnp.asarray(a), sb, fmt, axes=[ax],
+                      block_size=bs, round="nearest")
+    assert_bitexact(got, want, key)
+
+
+@pytest.mark.parametrize("shape,axes,bs", [
+    ((64, 96), [1], 16),
+    ((7, 13), [0], 16),       # padding path
+    ((4, 33, 20), [1], 32),   # padding path, middle axis
+    ((5, 3), [0, 1], 4),      # multiple shared axes
+])
+def test_reshape_roundtrip(shape, axes, bs):
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(shape).astype(np.float32)
+    blocked, ax2, orig, padded = reshape_to_blocks(jnp.asarray(a), axes, bs)
+    back = undo_reshape_to_blocks(blocked, padded, orig, ax2)
+    np.testing.assert_array_equal(np.asarray(back), a)
+
+
+def test_none_format_passthrough():
+    a = jnp.asarray(np.random.randn(4, 8).astype(np.float32))
+    out = quantize_mx(a, 8, None, axes=[1], block_size=4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(a))
