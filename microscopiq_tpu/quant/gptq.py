@@ -1,0 +1,274 @@
+"""GPTQ calibration engine with MicroScopiQ prune-and-redistribute, in JAX.
+
+Parity target: ``llm/gptq.py:17-193`` (and the no-prune variant
+``vlm/gptq.py:130-147``).
+
+Design (TPU-first): the Hessian accumulation is a jitted rank-k update;
+the Cholesky → inverse → upper-Cholesky pipeline runs on device; the
+inherently sequential per-column loop runs as a ``lax.fori_loop`` inside a
+jitted per-block function (one compile per layer geometry), with the
+outlier-count-driven pruning expressed as a static-shape rank mask instead
+of a dynamic-size ``topk``.
+
+The prune-and-redistribute step (``llm/gptq.py:146-153``): each column's
+outlier count (from the two-level quantizer) frees that many weight slots;
+the ``q²/d²`` least-important quantized weights are zeroed so the total
+bit budget stays constant, and GPTQ's error feedback redistributes their
+contribution into the not-yet-quantized columns.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.outlier import quantize_mx_outlier_hessian, quantize_mx_outlier_v1
+from .quantizer import MXQuantizer, UniformQuantizer, quantize_uniform
+
+
+@jax.jit
+def _hessian_update(H: jax.Array, nsamples: jax.Array, inp2d: jax.Array,
+                    tmp: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Running Hessian update H <- H·n/(n+b) + (2/(n+b))·XᵀX
+    (reference: gptq.py:53-58)."""
+    new_n = nsamples + tmp
+    H = H * (nsamples / new_n)
+    x = jnp.sqrt(2.0 / new_n) * inp2d.astype(jnp.float32)
+    return H + x.T @ x, new_n
+
+
+@functools.lru_cache(maxsize=64)
+def _make_block_fn(qcfg: tuple, mode: str, rows: int, count: int):
+    """Build the jitted per-block column loop for a given geometry."""
+    (in_sb, out_sb, in_fmt, out_fmt, sem, std_dev, axes, bsz, rnd, flush) = qcfg
+
+    def quantize_col(w):
+        if mode == "mx_prune" or mode == "mx_hessian":
+            q, n_out = quantize_mx_outlier_hessian(
+                w[:, None], in_sb, out_sb, in_fmt, out_fmt, sem, std_dev,
+                list(axes), bsz, rnd, flush)
+            return q[:, 0], n_out
+        elif mode == "mx_v1":
+            q = quantize_mx_outlier_v1(
+                w[:, None], in_sb, out_sb, in_fmt, out_fmt, sem, std_dev,
+                list(axes), bsz, rnd, flush)
+            return q[:, 0], None
+        raise ValueError(mode)
+
+    @jax.jit
+    def block_fn(W1, Hinv1):
+        col_ids = jnp.arange(count)
+
+        def body(i, carry):
+            W1, Q1, Err1, L1 = carry
+            w = lax.dynamic_slice_in_dim(W1, i, 1, axis=1)[:, 0]
+            d = Hinv1[i, i]
+            q, n_out = quantize_col(w)
+
+            if mode == "mx_prune":
+                # prune-and-redistribute (gptq.py:146-153): zero the
+                # num_outliers least-important weights by importance rank
+                importance = (q * q) / (d * d)
+                num = n_out.astype(jnp.int32).sum()
+                order = jnp.argsort(importance)
+                ranks = jnp.zeros((rows,), jnp.int32).at[order].set(
+                    jnp.arange(rows, dtype=jnp.int32))
+                q = jnp.where(ranks < num, 0.0, q)
+
+            err = (w - q) / d
+            # error feedback into remaining columns of the block
+            row = Hinv1[i, :] * (col_ids >= i)
+            W1 = W1 - err[:, None] * row[None, :]
+            Q1 = Q1.at[:, i].set(q)
+            Err1 = Err1.at[:, i].set(err)
+            L1 = L1.at[:, i].set((w - q) ** 2 / d ** 2)
+            return W1, Q1, Err1, L1
+
+        zeros = jnp.zeros((rows, count), jnp.float32)
+        _, Q1, Err1, L1 = lax.fori_loop(
+            0, count, body, (W1, zeros, zeros, zeros))
+        return Q1, Err1, L1
+
+    return block_fn
+
+
+class GPTQ:
+    """Layer-wise GPTQ calibrator.
+
+    Usage:
+        g = GPTQ(weight)                  # weight (out_features, in_features)
+        g.quantizer = MXQuantizer(...)
+        g.add_batch(x)                    # x (..., in_features), per batch
+        Q, losses = g.fasterquant()
+    """
+
+    def __init__(self, weight: jax.Array, mode: str = "mx_prune"):
+        W = jnp.asarray(weight, jnp.float32)
+        if W.ndim == 4:  # conv kernels: flatten reduce dims (gptq.py:23-24)
+            W = W.reshape(W.shape[0], -1)
+        self.W = W
+        self.rows, self.columns = W.shape
+        self.H = jnp.zeros((self.columns, self.columns), jnp.float32)
+        self.nsamples = jnp.zeros((), jnp.float32)
+        self.quantizer: Optional[MXQuantizer] = None
+        self.mode = mode
+
+    def add_batch(self, inp: jax.Array) -> None:
+        """Accumulate XᵀX from a calibration batch (gptq.py:32-58)."""
+        inp = jnp.asarray(inp)
+        if inp.ndim == 2:
+            inp = inp[None]
+        tmp = jnp.float32(inp.shape[0])
+        inp2d = inp.reshape(-1, inp.shape[-1])
+        self.H, self.nsamples = _hessian_update(self.H, self.nsamples,
+                                                inp2d, tmp)
+
+    def free(self) -> None:
+        self.H = None
+
+    def fasterquant(self, blocksize: int = 128, percdamp: float = 0.01,
+                    groupsize: int = -1, actorder: bool = False,
+                    static_groups: bool = False, verbose: bool = False
+                    ) -> Tuple[jax.Array, jax.Array]:
+        """Quantize the layer; returns (Q, losses) (gptq.py:60-184)."""
+        tick = time.time()
+        W = self.W
+        H = self.H
+
+        diag_h = jnp.diag(H)
+        dead = diag_h == 0
+        H = H + jnp.diag(dead.astype(H.dtype))  # H[dead,dead] = 1
+        W = W * (~dead)[None, :]                # W[:, dead] = 0
+
+        perm = invperm = None
+        if actorder:
+            perm = jnp.argsort(-jnp.diag(H))
+            W = W[:, perm]
+            H = H[perm][:, perm]
+            invperm = jnp.argsort(perm)
+
+        damp = percdamp * jnp.mean(jnp.diag(H))
+        H = H + damp * jnp.eye(self.columns, dtype=H.dtype)
+
+        # Cholesky → inverse → upper Cholesky (gptq.py:101-104)
+        L = jnp.linalg.cholesky(H)
+        Hinv_full = jax.scipy.linalg.cho_solve(
+            (L, True), jnp.eye(self.columns, dtype=H.dtype))
+        Hinv = jnp.linalg.cholesky(Hinv_full).T  # upper: UᵀU = Hinv_full
+
+        if self.mode == "uniform":
+            return self._fasterquant_uniform(
+                W, Hinv, blocksize, groupsize, actorder, static_groups,
+                invperm, tick, verbose)
+
+        qz = self.quantizer
+        qcfg = (qz.inlier_scale_bits, qz.outlier_scale_bits,
+                qz.inlier_elem_format, qz.outlier_elem_format,
+                qz.shared_exp_method, qz.std_dev, tuple(qz.axes),
+                qz.block_size, qz.round, qz.flush_fp32_subnorms)
+
+        Q = jnp.zeros_like(W)
+        losses = jnp.zeros_like(W)
+        for i1 in range(0, self.columns, blocksize):
+            i2 = min(i1 + blocksize, self.columns)
+            count = i2 - i1
+            block_fn = _make_block_fn(qcfg, self.mode, self.rows, count)
+            Q1, Err1, L1 = block_fn(W[:, i1:i2], Hinv[i1:i2, i1:i2])
+            Q = Q.at[:, i1:i2].set(Q1)
+            losses = losses.at[:, i1:i2].set(L1 / 2)
+            if i2 < self.columns:
+                W = W.at[:, i2:].add(-(Err1 @ Hinv[i1:i2, i2:]))
+
+        if actorder:
+            Q = Q[:, invperm]
+
+        if verbose:
+            Q.block_until_ready()
+            print(f"time {time.time() - tick:.2f}")
+            print(f"error {float(jnp.sum(losses)):.6f}")
+        return Q, losses
+
+    def _fasterquant_uniform(self, W, Hinv, blocksize, groupsize, actorder,
+                             static_groups, invperm, tick, verbose):
+        """Uniform-grid GPTQ path (the reference's Quantizer branch).
+
+        Group scales are pre-fit on the damped-but-unmodified W (the
+        reference's static_groups semantics, gptq.py:81-87); per-group
+        parameters are then gathered per column inside the jitted loop.
+        """
+        qz: UniformQuantizer = self.quantizer
+        cols = self.columns
+        if not qz.ready():
+            qz.find_params(W, weight=True)
+
+        if groupsize == -1:
+            scale_per_col = jnp.broadcast_to(
+                qz.scale.reshape(-1, 1), (W.shape[0], cols))
+            zero_per_col = jnp.broadcast_to(
+                qz.zero.reshape(-1, 1), (W.shape[0], cols))
+        else:
+            scs, zps = [], []
+            for g0 in range(0, cols, groupsize):
+                gq = UniformQuantizer()
+                gq.maxq = qz.maxq
+                gq.perchannel, gq.sym, gq.mse = qz.perchannel, qz.sym, qz.mse
+                gq.norm, gq.grid, gq.maxshrink = qz.norm, qz.grid, qz.maxshrink
+                gq.find_params(W[:, g0:g0 + groupsize], weight=True)
+                n = min(groupsize, cols - g0)
+                scs.append(jnp.broadcast_to(gq.scale.reshape(-1, 1),
+                                            (W.shape[0], n)))
+                zps.append(jnp.broadcast_to(gq.zero.reshape(-1, 1),
+                                            (W.shape[0], n)))
+            scale_per_col = jnp.concatenate(scs, axis=1)
+            zero_per_col = jnp.concatenate(zps, axis=1)
+        maxq = qz.maxq
+
+        @jax.jit
+        def block_fn(W1, Hinv1, S1, Z1):
+            count = W1.shape[1]
+            col_ids = jnp.arange(count)
+
+            def body(i, carry):
+                W1, Q1, Err1, L1 = carry
+                w = lax.dynamic_slice_in_dim(W1, i, 1, axis=1)[:, 0]
+                d = Hinv1[i, i]
+                s = lax.dynamic_slice_in_dim(S1, i, 1, axis=1)[:, 0]
+                z = lax.dynamic_slice_in_dim(Z1, i, 1, axis=1)[:, 0]
+                q = quantize_uniform(w, s, z, maxq)
+                err = (w - q) / d
+                row = Hinv1[i, :] * (col_ids >= i)
+                W1 = W1 - err[:, None] * row[None, :]
+                Q1 = Q1.at[:, i].set(q)
+                Err1 = Err1.at[:, i].set(err)
+                L1 = L1.at[:, i].set((w - q) ** 2 / d ** 2)
+                return W1, Q1, Err1, L1
+
+            zeros = jnp.zeros_like(W1)
+            _, Q1, Err1, L1 = lax.fori_loop(
+                0, count, body, (W1, zeros, zeros, zeros))
+            return Q1, Err1, L1
+
+        Q = jnp.zeros_like(W)
+        losses = jnp.zeros_like(W)
+        for i1 in range(0, cols, blocksize):
+            i2 = min(i1 + blocksize, cols)
+            Q1, Err1, L1 = block_fn(W[:, i1:i2], Hinv[i1:i2, i1:i2],
+                                    scale_per_col[:, i1:i2],
+                                    zero_per_col[:, i1:i2])
+            Q = Q.at[:, i1:i2].set(Q1)
+            losses = losses.at[:, i1:i2].set(L1 / 2)
+            if i2 < cols:
+                W = W.at[:, i2:].add(-(Err1 @ Hinv[i1:i2, i2:]))
+
+        if actorder:
+            Q = Q[:, invperm]
+        if verbose:
+            Q.block_until_ready()
+            print(f"time {time.time() - tick:.2f}")
+            print(f"error {float(jnp.sum(losses)):.6f}")
+        return Q, losses
