@@ -1,0 +1,426 @@
+"""Packed MX weight storage — the real (non-fake-quant) representation.
+
+The reference simulates quantization by fake-quantizing dense fp32 tensors
+everywhere (``mx/linear.py:29-108``). The TPU framework instead *stores*
+packed representations and fuses dequantization into the matmul:
+
+* Element codes live in a hardware-native **container dtype**:
+  ``float8_e4m3fn`` for the sub-byte fp formats (every fp4/fp6 value is
+  exactly representable in e4m3 — same trick the MicroScopiQ PE plays with
+  its mixed-precision multiplier), ``float8_e5m2``/``int8`` otherwise.
+  Dequant is then a native dtype-convert + per-block power-of-two scale,
+  which XLA fuses straight into the MXU matmul.
+* Per-block shared exponents are ``int8``.
+* Outliers are a fixed-budget side-band ``(values, positions)`` per block
+  with a second-level exponent — the static-shape TPU equivalent of the
+  reference's in-place dense outliers and the SCOPE NoC's redistribution
+  (``rtl/MicroScopiQ/scope.v:22-50``): the budget is what the butterfly
+  network routes per block.
+* For HBM-bandwidth-bound serving there are true sub-byte *transport*
+  packings (2×int4/byte, 4×int2/byte, 2×fp4/byte, 4×fp6 → 3 bytes) that
+  the Pallas kernels unpack in VMEM.
+
+Bit-parity: ``dequantize(pack_mx(W, cfg))`` reproduces the fake-quant
+``quantize_mx(W, cfg)`` output bit-exactly (both use the same scaled
+divide, including the reference's ``+1e-6`` quirk), so calibration and
+serving agree.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..formats import ElemFormat, get_format_params
+from .elemwise import exp2_exact, floor_log2, mul_pow2, quantize_elemwise_core
+from .mx import shared_exponents
+from .outlier import extract_outlier_indices, _clamp_shared_exp
+
+# ---------------------------------------------------------------------------
+# Container dtypes
+# ---------------------------------------------------------------------------
+_FP8_E4M3 = jnp.float8_e4m3fn
+_FP8_E5M2 = jnp.float8_e5m2
+
+_CONTAINERS = {
+    ElemFormat.int8: jnp.int8,
+    ElemFormat.int4: jnp.int8,
+    ElemFormat.int2: jnp.int8,
+    ElemFormat.fp8_e4m3: _FP8_E4M3,
+    ElemFormat.fp8_e5m2: _FP8_E5M2,
+    ElemFormat.fp6_e3m2: _FP8_E4M3,
+    ElemFormat.fp6_e2m3: _FP8_E4M3,
+    ElemFormat.fp4: _FP8_E4M3,
+    ElemFormat.float16: jnp.float16,
+    ElemFormat.bfloat16: jnp.bfloat16,
+}
+
+
+def container_dtype(fmt) -> jnp.dtype:
+    """Smallest native dtype that exactly holds every value of ``fmt``."""
+    if isinstance(fmt, str):
+        fmt = ElemFormat.from_str(fmt)
+    return _CONTAINERS[fmt]
+
+
+def _is_int_format(fmt) -> bool:
+    if isinstance(fmt, str):
+        fmt = ElemFormat.from_str(fmt)
+    return fmt in (ElemFormat.int8, ElemFormat.int4, ElemFormat.int2)
+
+
+# ---------------------------------------------------------------------------
+# Packed containers (pytrees; config fields are static)
+# ---------------------------------------------------------------------------
+@flax.struct.dataclass
+class PackedMX:
+    """MX-quantized tensor: codes + per-block shared exponents.
+
+    codes:     (..., n) container dtype; for int formats the integer
+               mantissa (value × 2^(mbits-2)).
+    scale_exp: (..., n // block_size) int8 shared exponent per block.
+               For int formats the mantissa shift is folded in at dequant.
+    """
+
+    codes: jax.Array
+    scale_exp: jax.Array
+    elem_format: str = flax.struct.field(pytree_node=False)
+    block_size: int = flax.struct.field(pytree_node=False)
+    scale_bits: int = flax.struct.field(pytree_node=False)
+    orig_dim: int = flax.struct.field(pytree_node=False)
+
+    @property
+    def bits_per_element(self) -> float:
+        _, mbits, _, _, _ = get_format_params(self.elem_format)
+        ebits, _, _, _, _ = get_format_params(self.elem_format)
+        elem_bits = {"int8": 8, "int4": 4, "int2": 2, "fp8_e5m2": 8,
+                     "fp8_e4m3": 8, "fp6_e3m2": 6, "fp6_e2m3": 6,
+                     "fp4": 4, "fp4_e2m1": 4, "fp16": 16, "bf16": 16}[
+                         self.elem_format]
+        return elem_bits + self.scale_bits / self.block_size
+
+
+@flax.struct.dataclass
+class PackedMXOutlier:
+    """Two-level outlier-aware packed tensor (the MicroScopiQ format).
+
+    inlier:        PackedMX of the inliers (outlier slots hold code 0).
+    out_codes:     (..., nblocks, K) outlier codes (container dtype).
+    out_pos:       (..., nblocks, K) int32 position within block; -1 = empty.
+    out_scale_exp: (..., nblocks) int8 level-2 exponent.
+    """
+
+    inlier: PackedMX
+    out_codes: jax.Array
+    out_pos: jax.Array
+    out_scale_exp: jax.Array
+    outlier_format: str = flax.struct.field(pytree_node=False)
+    outlier_scale_bits: int = flax.struct.field(pytree_node=False)
+
+
+# ---------------------------------------------------------------------------
+# Pack / dequantize (last-axis blocking; transpose beforehand for others)
+# ---------------------------------------------------------------------------
+def _block_last_axis(A: jax.Array, block_size: int) -> Tuple[jax.Array, int]:
+    n = A.shape[-1]
+    pad = (-n) % block_size
+    if pad:
+        A = jnp.pad(A, [(0, 0)] * (A.ndim - 1) + [(0, pad)])
+    nb = A.shape[-1] // block_size
+    return A.reshape(A.shape[:-1] + (nb, block_size)), n
+
+
+def _code_cast(vals_scaled: jax.Array, fmt) -> jax.Array:
+    """Cast scaled fake-quantized values into the container dtype."""
+    if _is_int_format(fmt):
+        _, mbits, _, _, _ = get_format_params(fmt)
+        return jnp.round(vals_scaled * (2 ** (mbits - 2))).astype(jnp.int8)
+    return vals_scaled.astype(container_dtype(fmt))
+
+
+def _code_decode(codes: jax.Array, fmt) -> jax.Array:
+    """Container codes -> scaled float values."""
+    if _is_int_format(fmt):
+        _, mbits, _, _, _ = get_format_params(fmt)
+        return codes.astype(jnp.float32) * (2.0 ** -(mbits - 2))
+    return codes.astype(jnp.float32)
+
+
+def pack_mx(A: jax.Array, scale_bits: int, elem_format, block_size: int,
+            round: str = "nearest") -> PackedMX:
+    """Quantize A (blocking the last axis) into packed storage.
+
+    Same math as :func:`microscopiq_tpu.ops.mx.quantize_mx` (incl. the
+    reference's +1e-6 scale quirk, mx_ops.py:444) so that
+    ``dequantize(pack_mx(A)) == quantize_mx(A)`` bit-exactly.
+    """
+    if isinstance(elem_format, str):
+        fmt = ElemFormat.from_str(elem_format)
+        fmt_name = elem_format
+    else:
+        fmt = elem_format
+        fmt_name = fmt.name
+    ebits, mbits, emax, max_norm, _ = get_format_params(fmt)
+
+    blocked, orig_dim = _block_last_axis(A.astype(jnp.float32), block_size)
+    se = shared_exponents(blocked, "max", axes=[blocked.ndim - 1], ebits=0)
+    se = se - emax
+    scale_emax = 2 ** (scale_bits - 1) - 1
+    se = jnp.clip(se, -scale_emax, scale_emax)
+
+    scaled = blocked / (exp2_exact(se) + 1e-6)
+    q = quantize_elemwise_core(scaled, mbits, ebits, max_norm, round=round,
+                               allow_denorm=True, saturate_normals=True)
+    codes = _code_cast(q, fmt)
+    return PackedMX(
+        codes=codes.reshape(codes.shape[:-2] + (-1,)),
+        scale_exp=se[..., 0].astype(jnp.int8),
+        elem_format=fmt_name, block_size=block_size,
+        scale_bits=scale_bits, orig_dim=orig_dim)
+
+
+def dequantize_mx(p: PackedMX, dtype=jnp.float32) -> jax.Array:
+    """Dense tensor from packed storage (bit-exact vs quantize_mx)."""
+    nb = p.codes.shape[-1] // p.block_size
+    vals = _code_decode(p.codes, p.elem_format)
+    vals = vals.reshape(vals.shape[:-1] + (nb, p.block_size))
+    vals = mul_pow2(vals, p.scale_exp[..., None].astype(jnp.float32))
+    vals = vals.reshape(vals.shape[:-2] + (-1,))
+    return vals[..., :p.orig_dim].astype(dtype)
+
+
+def pack_mx_outlier(A: jax.Array, inlier_scale_bits: int,
+                    outlier_scale_bits: int, inlier_elem_format,
+                    outlier_elem_format, std_dev: float = 2.0,
+                    block_size: int = 16, outlier_budget: int = 4,
+                    round: str = "nearest") -> PackedMXOutlier:
+    """Pack with the two-level outlier scheme (utils/quant.py:23-146
+    semantics, hessian/GPTQ variant statistics) into static-shape storage.
+
+    Per block at most ``outlier_budget`` outliers are kept (largest |value|
+    first); the reference keeps all outliers in its dense simulation, so
+    choose ``outlier_budget`` >= max observed count for exact parity. The
+    fixed budget is what makes the fused GEMM's scatter a static-shape
+    gather (cf. SURVEY.md §7 hard-part 3).
+    """
+    fmt_in = inlier_elem_format
+    fmt_out = outlier_elem_format
+    eb_i, mb_i, emax_i, mn_i, _ = get_format_params(fmt_in)
+    eb_o, mb_o, emax_o, mn_o, _ = get_format_params(fmt_out)
+
+    blocked, orig_dim = _block_last_axis(A.astype(jnp.float32), block_size)
+    K = outlier_budget
+
+    mask = extract_outlier_indices(blocked, std_dev, axes=[blocked.ndim - 1],
+                                   use_abs=True, unbiased=False)
+    inl = blocked * (1.0 - mask)
+    outl = blocked * mask
+
+    se_in = shared_exponents(inl, "max", axes=[blocked.ndim - 1], ebits=0)
+    se_in = _clamp_shared_exp(se_in, emax_i, inlier_scale_bits, True)
+
+    inl_scaled = mul_pow2(inl, -se_in)
+    inl_q = quantize_elemwise_core(inl_scaled, mb_i, eb_i, mn_i, round=round,
+                                   allow_denorm=True, saturate_normals=True)
+
+    outl_l1 = mul_pow2(outl, se_in)
+    se_out = shared_exponents(outl_l1, "max", axes=[blocked.ndim - 1], ebits=0)
+    se_out = _clamp_shared_exp(se_out, emax_o, outlier_scale_bits, True)
+    outl_scaled = mul_pow2(outl_l1, -se_out)
+    outl_q = quantize_elemwise_core(outl_scaled, mb_o, eb_o, mn_o, round=round,
+                                    allow_denorm=True, saturate_normals=True)
+
+    # Top-K outlier selection per block by |scaled value| (stable, static)
+    neg_mag = jnp.where(mask > 0, -jnp.abs(outl_scaled), 1.0)
+    order = jnp.argsort(neg_mag, axis=-1)[..., :K]
+    sel_mask = jnp.take_along_axis(mask, order, axis=-1) > 0
+    out_codes = jnp.take_along_axis(outl_q, order, axis=-1)
+    out_codes = jnp.where(sel_mask, out_codes, 0.0)
+    out_pos = jnp.where(sel_mask, order, -1).astype(jnp.int32)
+
+    inlier = PackedMX(
+        codes=_code_cast(inl_q, ElemFormat.from_str(fmt_in) if
+                         isinstance(fmt_in, str) else fmt_in
+                         ).reshape(blocked.shape[:-2] + (-1,)),
+        scale_exp=se_in[..., 0].astype(jnp.int8),
+        elem_format=fmt_in if isinstance(fmt_in, str) else fmt_in.name,
+        block_size=block_size, scale_bits=inlier_scale_bits,
+        orig_dim=orig_dim)
+    return PackedMXOutlier(
+        inlier=inlier,
+        out_codes=_code_cast(out_codes, ElemFormat.from_str(fmt_out) if
+                             isinstance(fmt_out, str) else fmt_out),
+        out_pos=out_pos,
+        out_scale_exp=se_out[..., 0].astype(jnp.int8),
+        outlier_format=fmt_out if isinstance(fmt_out, str) else fmt_out.name,
+        outlier_scale_bits=outlier_scale_bits)
+
+
+def dequantize_mx_outlier(p: PackedMXOutlier, dtype=jnp.float32) -> jax.Array:
+    """Dense tensor: inlier·2^L1 + outlier·2^(L2-L1) scattered into blocks
+    (the scale_compute.v:55-57 merge)."""
+    inl = p.inlier
+    bs = inl.block_size
+    nb = inl.codes.shape[-1] // bs
+    vals = _code_decode(inl.codes, inl.elem_format)
+    vals = vals.reshape(vals.shape[:-1] + (nb, bs))
+    se_in = inl.scale_exp.astype(jnp.float32)
+    vals = mul_pow2(vals, se_in[..., None])
+
+    out_vals = _code_decode(p.out_codes, p.outlier_format)
+    se_out = p.out_scale_exp.astype(jnp.float32)
+    out_vals = mul_pow2(mul_pow2(out_vals, se_out[..., None]),
+                        -se_in[..., None])
+    # scatter outliers into their block positions (out-of-budget slots have
+    # pos -1 -> dropped via mode='drop')
+    pos = p.out_pos
+    valid = pos >= 0
+    safe_pos = jnp.where(valid, pos, 0)
+    upd = jnp.where(valid, out_vals, 0.0)
+    # vals: (..., nb, bs); scatter along last axis per block
+    vals = jax.vmap(
+        lambda v, i, u: v.at[i].add(u),
+        in_axes=(0, 0, 0))(
+            vals.reshape(-1, bs),
+            safe_pos.reshape(-1, pos.shape[-1]),
+            upd.reshape(-1, pos.shape[-1]),
+        ).reshape(vals.shape)
+    vals = vals.reshape(vals.shape[:-2] + (-1,))
+    return vals[..., :inl.orig_dim].astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Sub-byte transport packing (HBM bandwidth; unpacked in VMEM by kernels)
+# ---------------------------------------------------------------------------
+def pack_int4(codes: jax.Array) -> jax.Array:
+    """Pack int8 codes in [-8, 7] pairwise into uint8 (2 per byte, low
+    nibble = even index). Last axis must be even."""
+    lo = codes[..., 0::2].astype(jnp.uint8) & 0xF
+    hi = codes[..., 1::2].astype(jnp.uint8) & 0xF
+    return lo | (hi << 4)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of pack_int4 -> int8 with sign extension."""
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = ((packed >> 4) & 0xF).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    out = jnp.stack([lo, hi], axis=-1)
+    return out.reshape(out.shape[:-2] + (-1,))
+
+
+def pack_int2(codes: jax.Array) -> jax.Array:
+    """Pack int8 codes in [-2, 1] four per byte."""
+    c = codes.astype(jnp.uint8) & 0x3
+    return (c[..., 0::4] | (c[..., 1::4] << 2) | (c[..., 2::4] << 4)
+            | (c[..., 3::4] << 6))
+
+
+def unpack_int2(packed: jax.Array) -> jax.Array:
+    parts = []
+    for shift in (0, 2, 4, 6):
+        v = ((packed >> shift) & 0x3).astype(jnp.int8)
+        parts.append(jnp.where(v >= 2, v - 4, v))
+    out = jnp.stack(parts, axis=-1)
+    return out.reshape(out.shape[:-2] + (-1,))
+
+
+def _fp_bias(ebits: int, emax: int) -> int:
+    # Universal IEEE-style bias; holds both for formats that reserve the
+    # top exponent for Inf/NaN (e5m2, fp16, bf16) and those that don't
+    # (fp4/fp6/e4m3): emin = 1 - bias in every case.
+    del emax
+    return 2 ** (ebits - 1) - 1
+
+
+def encode_fp_bits(vals: jax.Array, fmt) -> jax.Array:
+    """Encode on-grid values into the format's n-bit field encoding
+    (sign | exp | mantissa) as uint8. Values must already lie on the
+    format's grid (i.e. be outputs of quantize_elemwise_core)."""
+    ebits, mbits, emax, max_norm, min_norm = get_format_params(fmt)
+    fbits = mbits - 2  # stored fraction bits
+    bias = _fp_bias(ebits, emax)
+    emin = 2 - 2 ** (ebits - 1)
+
+    a = jnp.abs(vals.astype(jnp.float32))
+    sign = (vals < 0) | ((vals == 0) & (jnp.signbit(vals)))
+    e_real = jnp.maximum(floor_log2(a + (a == 0)), emin)
+    is_sub = a < min_norm
+    e_field = jnp.where(is_sub, 0, e_real + bias).astype(jnp.int32)
+    # fraction: normal -> (a/2^e - 1)·2^f ; subnormal -> a/2^emin·2^f
+    frac = jnp.where(
+        is_sub,
+        mul_pow2(a, -jnp.float32(emin)),
+        mul_pow2(a, -e_real) - 1.0,
+    ) * (2 ** fbits)
+    m_field = jnp.round(frac).astype(jnp.int32)
+    code = (sign.astype(jnp.int32) << (ebits + fbits)) | \
+           (e_field << fbits) | m_field
+    return code.astype(jnp.uint8)
+
+
+def decode_fp_bits(codes: jax.Array, fmt) -> jax.Array:
+    """Decode n-bit field encodings back to float32 grid values."""
+    ebits, mbits, emax, _, _ = get_format_params(fmt)
+    fbits = mbits - 2
+    bias = _fp_bias(ebits, emax)
+    emin = 2 - 2 ** (ebits - 1)
+
+    c = codes.astype(jnp.int32)
+    m = (c & (2 ** fbits - 1)).astype(jnp.float32)
+    e = (c >> fbits) & (2 ** ebits - 1)
+    s = (c >> (ebits + fbits)) & 1
+    normal = e > 0
+    mag = jnp.where(
+        normal,
+        mul_pow2(1.0 + m * (2.0 ** -fbits), (e - bias).astype(jnp.float32)),
+        mul_pow2(m * (2.0 ** -fbits), jnp.float32(emin)),
+    )
+    return jnp.where(s == 1, -mag, mag)
+
+
+def pack_fp4(vals: jax.Array) -> jax.Array:
+    """Pack fp4_e2m1 grid values 2 per byte (transport packing)."""
+    codes = encode_fp_bits(vals, "fp4_e2m1")
+    lo = codes[..., 0::2] & 0xF
+    hi = codes[..., 1::2] & 0xF
+    return lo | (hi << 4)
+
+
+def unpack_fp4(packed: jax.Array) -> jax.Array:
+    lo = decode_fp_bits(packed & 0xF, "fp4_e2m1")
+    hi = decode_fp_bits((packed >> 4) & 0xF, "fp4_e2m1")
+    out = jnp.stack([lo, hi], axis=-1)
+    return out.reshape(out.shape[:-2] + (-1,))
+
+
+def pack_fp6(vals: jax.Array, fmt: str = "fp6_e3m2") -> jax.Array:
+    """Pack fp6 grid values 4 -> 3 bytes (transport packing).
+
+    Layout: c0[5:0] | c1[1:0] << 6 ; c1[5:2] | c2[3:0] << 4 ;
+            c2[5:4] | c3[5:0] << 2.
+    """
+    codes = encode_fp_bits(vals, fmt).astype(jnp.uint32)
+    c0, c1, c2, c3 = (codes[..., i::4] for i in range(4))
+    b0 = c0 | ((c1 & 0x3) << 6)
+    b1 = (c1 >> 2) | ((c2 & 0xF) << 4)
+    b2 = (c2 >> 4) | (c3 << 2)
+    out = jnp.stack([b0, b1, b2], axis=-1).astype(jnp.uint8)
+    return out.reshape(out.shape[:-2] + (-1,))
+
+
+def unpack_fp6(packed: jax.Array, fmt: str = "fp6_e3m2") -> jax.Array:
+    p = packed.astype(jnp.uint32)
+    b0, b1, b2 = (p[..., i::3] for i in range(3))
+    c0 = b0 & 0x3F
+    c1 = ((b0 >> 6) | (b1 << 2)) & 0x3F
+    c2 = ((b1 >> 4) | (b2 << 4)) & 0x3F
+    c3 = (b2 >> 2) & 0x3F
+    codes = jnp.stack([c0, c1, c2, c3], axis=-1)
+    codes = codes.reshape(codes.shape[:-2] + (-1,))
+    return decode_fp_bits(codes, fmt)

@@ -1,0 +1,156 @@
+"""Packed storage tests: pack→dequant must be bit-exact with the fake-quant
+reference path; sub-byte transport packings must round-trip exactly."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import assert_bitexact
+from microscopiq_tpu.formats import get_format_params
+from microscopiq_tpu.ops.elemwise import quantize_elemwise
+from microscopiq_tpu.ops.mx import quantize_mx
+from microscopiq_tpu.ops.outlier import quantize_mx_outlier_hessian
+from microscopiq_tpu.ops.packing import (
+    container_dtype,
+    decode_fp_bits,
+    dequantize_mx,
+    dequantize_mx_outlier,
+    encode_fp_bits,
+    pack_fp4,
+    pack_fp6,
+    pack_int2,
+    pack_int4,
+    pack_mx,
+    pack_mx_outlier,
+    unpack_fp4,
+    unpack_fp6,
+    unpack_int2,
+    unpack_int4,
+)
+
+RNG = np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("fmt", ["int8", "int4", "int2", "fp8_e4m3",
+                                 "fp8_e5m2", "fp6_e3m2", "fp6_e2m3",
+                                 "fp4_e2m1"])
+@pytest.mark.parametrize("sb,bs", [(8, 16), (4, 32)])
+def test_pack_dequant_bitexact_vs_fakequant(fmt, sb, bs):
+    W = (RNG.standard_normal((24, 96)) *
+         np.exp(RNG.uniform(-3, 3, (24, 1)))).astype(np.float32)
+    want = np.asarray(quantize_mx(jnp.asarray(W), sb, fmt,
+                                  axes=[-1], block_size=bs))
+    p = pack_mx(jnp.asarray(W), sb, fmt, bs)
+    got = np.asarray(dequantize_mx(p))
+    assert_bitexact(got, want, f"{fmt}|sb{sb}|bs{bs}")
+
+
+def test_pack_ragged_dim():
+    W = RNG.standard_normal((8, 37)).astype(np.float32)
+    p = pack_mx(jnp.asarray(W), 8, "fp6_e3m2", 16)
+    got = np.asarray(dequantize_mx(p))
+    want = np.asarray(quantize_mx(jnp.asarray(W), 8, "fp6_e3m2",
+                                  axes=[-1], block_size=16))
+    assert got.shape == (8, 37)
+    assert_bitexact(got, want, "ragged")
+
+
+@pytest.mark.parametrize("ifmt,ofmt", [("int2", "fp4_e2m1"),
+                                       ("fp6_e3m2", "fp8_e4m3")])
+def test_pack_outlier_matches_fakequant(ifmt, ofmt):
+    """With an outlier budget >= block_size the packed path must agree
+    with the reference fake-quant outlier quantizer (hessian variant)
+    except for the +1e-6-free scale divide — compare against our parity-
+    tested quantizer, which uses exact power-of-two scaling, so bit-exact."""
+    W = RNG.standard_normal((16, 64)).astype(np.float32)
+    W[3, 17] = 8.0
+    W[9, 40] = -6.5
+    bs = 16
+    want, _ = quantize_mx_outlier_hessian(
+        jnp.asarray(W), 8, 8, ifmt, ofmt, std_dev=2, axes=[-1], block_size=bs)
+    p = pack_mx_outlier(jnp.asarray(W), 8, 8, ifmt, ofmt, std_dev=2,
+                        block_size=bs, outlier_budget=bs)
+    got = np.asarray(dequantize_mx_outlier(p))
+    assert_bitexact(got, np.asarray(want), f"outlier {ifmt}/{ofmt}")
+
+
+def test_pack_outlier_budget_truncates_gracefully():
+    W = RNG.standard_normal((4, 32)).astype(np.float32)
+    W[0, :8] += 20.0  # many outliers in block 0
+    p = pack_mx_outlier(jnp.asarray(W), 8, 8, "int2", "fp4_e2m1",
+                        std_dev=2, block_size=16, outlier_budget=2)
+    assert p.out_codes.shape == (4, 2, 2)
+    got = np.asarray(dequantize_mx_outlier(p))
+    assert np.isfinite(got).all()
+    # the 2 largest outliers of block 0 must be represented
+    assert np.abs(got[0, :8]).max() > 5.0
+
+
+def test_bits_per_element():
+    p = pack_mx(jnp.ones((4, 32)), 8, "fp6_e3m2", 32)
+    assert p.bits_per_element == 6 + 8 / 32
+
+
+@pytest.mark.parametrize("fmt", ["fp4_e2m1", "fp6_e3m2", "fp6_e2m3",
+                                 "fp8_e4m3", "fp8_e5m2"])
+def test_fp_bits_roundtrip_full_grid(fmt):
+    """encode/decode must round-trip every representable grid value."""
+    ebits, mbits, emax, max_norm, _ = get_format_params(fmt)
+    nbits = 1 + ebits + (mbits - 2)
+    codes = np.arange(2 ** nbits, dtype=np.uint8)
+    vals = np.asarray(decode_fp_bits(jnp.asarray(codes), fmt))
+    # Exclude encodings beyond max_norm (e4m3 reserves them for NaN,
+    # e5m2 for Inf/NaN); the packer never emits them.
+    keep = np.abs(vals) <= max_norm
+    codes, vals = codes[keep], vals[keep]
+    # every decoded value must quantize to itself (it's on the grid)
+    requant = np.asarray(quantize_elemwise(jnp.asarray(vals), fmt,
+                                           saturate_normals=True))
+    np.testing.assert_array_equal(requant, vals)
+    back = np.asarray(encode_fp_bits(jnp.asarray(vals), fmt))
+    # -0 and +0 encode differently but decode equal; compare decoded
+    vals2 = np.asarray(decode_fp_bits(jnp.asarray(back), fmt))
+    np.testing.assert_array_equal(vals2, vals)
+
+
+@pytest.mark.parametrize("pack,unpack,lo,hi", [
+    (pack_int4, unpack_int4, -8, 7),
+    (pack_int2, unpack_int2, -2, 1),
+])
+def test_int_transport_roundtrip(pack, unpack, lo, hi):
+    codes = RNG.integers(lo, hi + 1, size=(16, 64)).astype(np.int8)
+    packed = pack(jnp.asarray(codes))
+    assert packed.dtype == jnp.uint8
+    out = np.asarray(unpack(packed))
+    np.testing.assert_array_equal(out, codes)
+
+
+def test_fp4_transport_roundtrip():
+    grid = np.asarray(decode_fp_bits(jnp.arange(16, dtype=jnp.uint8),
+                                     "fp4_e2m1"))
+    vals = RNG.choice(grid, size=(8, 32)).astype(np.float32)
+    out = np.asarray(unpack_fp4(pack_fp4(jnp.asarray(vals))))
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_fp6_transport_roundtrip():
+    grid = np.asarray(decode_fp_bits(jnp.arange(64, dtype=jnp.uint8),
+                                     "fp6_e3m2"))
+    vals = RNG.choice(grid, size=(8, 48)).astype(np.float32)
+    packed = pack_fp6(jnp.asarray(vals))
+    assert packed.shape == (8, 36)  # 48 codes -> 36 bytes
+    out = np.asarray(unpack_fp6(packed))
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_container_embeds_exactly():
+    """Every fp4/fp6 grid value must be exactly representable in its
+    container dtype (the basis of the native-dequant design)."""
+    for fmt in ["fp4_e2m1", "fp6_e3m2", "fp6_e2m3"]:
+        ebits, mbits, _, _, _ = get_format_params(fmt)
+        nbits = 1 + ebits + (mbits - 2)
+        grid = np.asarray(decode_fp_bits(
+            jnp.arange(2 ** nbits, dtype=jnp.uint8), fmt))
+        cast = np.asarray(jnp.asarray(grid).astype(container_dtype(fmt))
+                          .astype(jnp.float32))
+        np.testing.assert_array_equal(cast, grid)
