@@ -80,10 +80,16 @@ def _is_int_format(fmt) -> bool:
 class PackedMX:
     """MX-quantized tensor: codes + per-block shared exponents.
 
-    codes:     (..., n) container dtype; for int formats the integer
+    codes:     same shape as the source tensor (padded to block multiple
+               along `axis`), container dtype; for int formats the integer
                mantissa (value × 2^(mbits-2)).
-    scale_exp: (..., n // block_size) int8 shared exponent per block.
-               For int formats the mantissa shift is folded in at dequant.
+    scale_exp: int8 shared exponent per block; shape = codes' with `axis`
+               reduced by block_size. For int formats the mantissa shift
+               is folded in at dequant.
+    axis:      the blocked axis. Weights for the fused GEMM are stored
+               transposed (K, N) with axis=0 so block expansion is a
+               sublane (second-minor) broadcast — the layout the MXU and
+               Mosaic want; activations block their last axis.
     """
 
     codes: jax.Array
@@ -92,6 +98,7 @@ class PackedMX:
     block_size: int = flax.struct.field(pytree_node=False)
     scale_bits: int = flax.struct.field(pytree_node=False)
     orig_dim: int = flax.struct.field(pytree_node=False)
+    axis: int = flax.struct.field(pytree_node=False, default=-1)
 
     @property
     def bits_per_element(self) -> float:
@@ -151,12 +158,16 @@ def _code_decode(codes: jax.Array, fmt) -> jax.Array:
 
 
 def pack_mx(A: jax.Array, scale_bits: int, elem_format, block_size: int,
-            round: str = "nearest") -> PackedMX:
+            round: str = "nearest", exact_scale: bool = False,
+            axis: int = -1) -> PackedMX:
     """Quantize A (blocking the last axis) into packed storage.
 
-    Same math as :func:`microscopiq_tpu.ops.mx.quantize_mx` (incl. the
-    reference's +1e-6 scale quirk, mx_ops.py:444) so that
+    With ``exact_scale=False`` (default) uses the same math as
+    :func:`microscopiq_tpu.ops.mx.quantize_mx` (incl. the reference's
+    +1e-6 scale quirk, mx_ops.py:444) so that
     ``dequantize(pack_mx(A)) == quantize_mx(A)`` bit-exactly.
+    ``exact_scale=True`` divides by the exact power-of-two scale — the
+    production packed path and the Pallas kernel twin.
     """
     if isinstance(elem_format, str):
         fmt = ElemFormat.from_str(elem_format)
@@ -166,38 +177,57 @@ def pack_mx(A: jax.Array, scale_bits: int, elem_format, block_size: int,
         fmt_name = fmt.name
     ebits, mbits, emax, max_norm, _ = get_format_params(fmt)
 
-    blocked, orig_dim = _block_last_axis(A.astype(jnp.float32), block_size)
+    axis_n = axis % A.ndim
+    A_ = A if axis_n == A.ndim - 1 else jnp.moveaxis(A, axis_n, -1)
+
+    blocked, orig_dim = _block_last_axis(A_.astype(jnp.float32), block_size)
     se = shared_exponents(blocked, "max", axes=[blocked.ndim - 1], ebits=0)
     se = se - emax
     scale_emax = 2 ** (scale_bits - 1) - 1
     se = jnp.clip(se, -scale_emax, scale_emax)
 
-    scaled = blocked / (exp2_exact(se) + 1e-6)
+    if exact_scale:
+        scaled = mul_pow2(blocked, -se)
+    else:
+        scaled = blocked / (exp2_exact(se) + 1e-6)
     q = quantize_elemwise_core(scaled, mbits, ebits, max_norm, round=round,
                                allow_denorm=True, saturate_normals=True)
-    codes = _code_cast(q, fmt)
+    codes = _code_cast(q, fmt).reshape(blocked.shape[:-2] + (-1,))
+    se = se[..., 0].astype(jnp.int8)
+    if axis_n != A.ndim - 1:
+        codes = jnp.moveaxis(codes, -1, axis_n)
+        se = jnp.moveaxis(se, -1, axis_n)
     return PackedMX(
-        codes=codes.reshape(codes.shape[:-2] + (-1,)),
-        scale_exp=se[..., 0].astype(jnp.int8),
+        codes=codes, scale_exp=se,
         elem_format=fmt_name, block_size=block_size,
-        scale_bits=scale_bits, orig_dim=orig_dim)
+        scale_bits=scale_bits, orig_dim=orig_dim, axis=axis_n)
 
 
 def dequantize_mx(p: PackedMX, dtype=jnp.float32) -> jax.Array:
     """Dense tensor from packed storage (bit-exact vs quantize_mx)."""
-    nb = p.codes.shape[-1] // p.block_size
-    vals = _code_decode(p.codes, p.elem_format)
+    codes = p.codes
+    se = p.scale_exp
+    axis_n = p.axis % codes.ndim
+    if axis_n != codes.ndim - 1:
+        codes = jnp.moveaxis(codes, axis_n, -1)
+        se = jnp.moveaxis(se, axis_n, -1)
+    nb = codes.shape[-1] // p.block_size
+    vals = _code_decode(codes, p.elem_format)
     vals = vals.reshape(vals.shape[:-1] + (nb, p.block_size))
-    vals = mul_pow2(vals, p.scale_exp[..., None].astype(jnp.float32))
+    vals = mul_pow2(vals, se[..., None].astype(jnp.float32))
     vals = vals.reshape(vals.shape[:-2] + (-1,))
-    return vals[..., :p.orig_dim].astype(dtype)
+    vals = vals[..., :p.orig_dim]
+    if axis_n != codes.ndim - 1:
+        vals = jnp.moveaxis(vals, -1, axis_n)
+    return vals.astype(dtype)
 
 
 def pack_mx_outlier(A: jax.Array, inlier_scale_bits: int,
                     outlier_scale_bits: int, inlier_elem_format,
                     outlier_elem_format, std_dev: float = 2.0,
                     block_size: int = 16, outlier_budget: int = 4,
-                    round: str = "nearest") -> PackedMXOutlier:
+                    round: str = "nearest", axis: int = -1
+                    ) -> PackedMXOutlier:
     """Pack with the two-level outlier scheme (utils/quant.py:23-146
     semantics, hessian/GPTQ variant statistics) into static-shape storage.
 
@@ -212,7 +242,9 @@ def pack_mx_outlier(A: jax.Array, inlier_scale_bits: int,
     eb_i, mb_i, emax_i, mn_i, _ = get_format_params(fmt_in)
     eb_o, mb_o, emax_o, mn_o, _ = get_format_params(fmt_out)
 
-    blocked, orig_dim = _block_last_axis(A.astype(jnp.float32), block_size)
+    axis_n = axis % A.ndim
+    A_ = A if axis_n == A.ndim - 1 else jnp.moveaxis(A, axis_n, -1)
+    blocked, orig_dim = _block_last_axis(A_.astype(jnp.float32), block_size)
     K = outlier_budget
 
     mask = extract_outlier_indices(blocked, std_dev, axes=[blocked.ndim - 1],
@@ -242,20 +274,30 @@ def pack_mx_outlier(A: jax.Array, inlier_scale_bits: int,
     out_codes = jnp.where(sel_mask, out_codes, 0.0)
     out_pos = jnp.where(sel_mask, order, -1).astype(jnp.int32)
 
+    inl_codes = _code_cast(inl_q, ElemFormat.from_str(fmt_in) if
+                           isinstance(fmt_in, str) else fmt_in
+                           ).reshape(blocked.shape[:-2] + (-1,))
+    se_in8 = se_in[..., 0].astype(jnp.int8)
+    oc = _code_cast(out_codes, ElemFormat.from_str(fmt_out) if
+                    isinstance(fmt_out, str) else fmt_out)
+    se_out8 = se_out[..., 0].astype(jnp.int8)
+    if axis_n != A.ndim - 1:
+        inl_codes = jnp.moveaxis(inl_codes, -1, axis_n)
+        se_in8 = jnp.moveaxis(se_in8, -1, axis_n)
+        oc = jnp.moveaxis(oc, -2, axis_n)        # block axis to axis_n
+        out_pos = jnp.moveaxis(out_pos, -2, axis_n)
+        se_out8 = jnp.moveaxis(se_out8, -1, axis_n)
+
     inlier = PackedMX(
-        codes=_code_cast(inl_q, ElemFormat.from_str(fmt_in) if
-                         isinstance(fmt_in, str) else fmt_in
-                         ).reshape(blocked.shape[:-2] + (-1,)),
-        scale_exp=se_in[..., 0].astype(jnp.int8),
+        codes=inl_codes, scale_exp=se_in8,
         elem_format=fmt_in if isinstance(fmt_in, str) else fmt_in.name,
         block_size=block_size, scale_bits=inlier_scale_bits,
-        orig_dim=orig_dim)
+        orig_dim=orig_dim, axis=axis_n)
     return PackedMXOutlier(
         inlier=inlier,
-        out_codes=_code_cast(out_codes, ElemFormat.from_str(fmt_out) if
-                             isinstance(fmt_out, str) else fmt_out),
+        out_codes=oc,
         out_pos=out_pos,
-        out_scale_exp=se_out[..., 0].astype(jnp.int8),
+        out_scale_exp=se_out8,
         outlier_format=fmt_out if isinstance(fmt_out, str) else fmt_out.name,
         outlier_scale_bits=outlier_scale_bits)
 
@@ -265,19 +307,28 @@ def dequantize_mx_outlier(p: PackedMXOutlier, dtype=jnp.float32) -> jax.Array:
     (the scale_compute.v:55-57 merge)."""
     inl = p.inlier
     bs = inl.block_size
-    nb = inl.codes.shape[-1] // bs
-    vals = _code_decode(inl.codes, inl.elem_format)
+    codes, se_in8 = inl.codes, inl.scale_exp
+    oc, pos, se_out8 = p.out_codes, p.out_pos, p.out_scale_exp
+    axis_n = inl.axis % codes.ndim
+    if axis_n != codes.ndim - 1:
+        codes = jnp.moveaxis(codes, axis_n, -1)
+        se_in8 = jnp.moveaxis(se_in8, axis_n, -1)
+        oc = jnp.moveaxis(oc, axis_n, -2)
+        pos = jnp.moveaxis(pos, axis_n, -2)
+        se_out8 = jnp.moveaxis(se_out8, axis_n, -1)
+
+    nb = codes.shape[-1] // bs
+    vals = _code_decode(codes, inl.elem_format)
     vals = vals.reshape(vals.shape[:-1] + (nb, bs))
-    se_in = inl.scale_exp.astype(jnp.float32)
+    se_in = se_in8.astype(jnp.float32)
     vals = mul_pow2(vals, se_in[..., None])
 
-    out_vals = _code_decode(p.out_codes, p.outlier_format)
-    se_out = p.out_scale_exp.astype(jnp.float32)
+    out_vals = _code_decode(oc, p.outlier_format)
+    se_out = se_out8.astype(jnp.float32)
     out_vals = mul_pow2(mul_pow2(out_vals, se_out[..., None]),
                         -se_in[..., None])
     # scatter outliers into their block positions (out-of-budget slots have
     # pos -1 -> dropped via mode='drop')
-    pos = p.out_pos
     valid = pos >= 0
     safe_pos = jnp.where(valid, pos, 0)
     upd = jnp.where(valid, out_vals, 0.0)
@@ -290,7 +341,10 @@ def dequantize_mx_outlier(p: PackedMXOutlier, dtype=jnp.float32) -> jax.Array:
             upd.reshape(-1, pos.shape[-1]),
         ).reshape(vals.shape)
     vals = vals.reshape(vals.shape[:-2] + (-1,))
-    return vals[..., :inl.orig_dim].astype(dtype)
+    vals = vals[..., :inl.orig_dim]
+    if axis_n != vals.ndim - 1:
+        vals = jnp.moveaxis(vals, -1, axis_n)
+    return vals.astype(dtype)
 
 
 # ---------------------------------------------------------------------------

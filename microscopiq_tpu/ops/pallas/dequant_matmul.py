@@ -1,0 +1,272 @@
+"""Fused dequantize + matmul Pallas TPU kernel.
+
+The serving-path replacement for the reference's fake-quant linear
+(``number_system/mx/linear.py:29-108``) and for the external packed-GEMM
+CUDA wheel it depends on (``quant_cuda`` / ``Quant3Linear``,
+``llm/opt.py:255-294``): packed MX codes + per-block exponents (+ optional
+outlier side-band) stay packed in HBM, are dequantized in VMEM tile by
+tile, and feed the MXU directly. HBM traffic is the packed bytes, not
+dense bf16 — on bandwidth-bound decode this is the speed-of-light path.
+
+Layout: weights are stored **transposed** ``(K, N)`` with the contraction
+axis K blocked (``PackedMX(axis=0)``). The per-block scale expansion is
+then a second-minor (sublane) broadcast — free in Mosaic's layout system —
+and the matmul is a plain ``(M,K)x(K,N)`` MXU contraction.
+
+Grid: (M/TM, N/TN, K/TK) with a float32 VMEM accumulator carried across
+the K dimension. Outlier scatter uses the fixed per-block budget (static
+shapes, SURVEY.md §7 hard-part 3): each budget slot is one masked VPU
+select, the TPU analog of one SCOPE-NoC routing stage
+(``rtl/MicroScopiQ/scope.v:22-50``).
+
+Every kernel has a pure-JAX twin (:func:`dequant_matmul_reference`) used
+for differential testing, mirroring the reference's CPU-vs-CUDA strategy
+(``number_system/mx/tests/test_quantize_mx.py:37-66``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...formats import get_format_params
+from .. import packing as pk
+from ..packing import PackedMX, PackedMXOutlier
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _exp2_i32(e: jax.Array) -> jax.Array:
+    """Exact 2.0**e for int32 e in [-126, 127] (bit assembly, VPU-native)."""
+    return lax.bitcast_convert_type(
+        lax.shift_left(jnp.clip(e, -126, 127) + 127, 23), jnp.float32)
+
+
+def _scale_fold(fmt: str) -> int:
+    """Extra exponent shift folded into the scale for int formats
+    (code = value * 2^(mbits-2))."""
+    if fmt in ("int8", "int4", "int2"):
+        _, mbits, _, _, _ = get_format_params(fmt)
+        return mbits - 2
+    return 0
+
+
+def _expand_blocks(a: jax.Array, B: int) -> jax.Array:
+    """(K//B, N) -> (K, N) by repeating each row B times (sublane bcast)."""
+    nb, n = a.shape
+    return jnp.broadcast_to(a[:, None, :], (nb, B, n)).reshape(nb * B, n)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+def _dq_matmul_kernel(x_ref, codes_ref, se_ref, out_ref, acc_ref,
+                      *, nk: int, block_size: int, fold: int, out_dtype):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    codes = codes_ref[:].astype(jnp.bfloat16)            # (TK, TN)
+    se = se_ref[:].astype(jnp.int32) - fold              # (TK//B, TN)
+    scale = _exp2_i32(se).astype(jnp.bfloat16)
+    w = codes * _expand_blocks(scale, block_size)
+    x = x_ref[:].astype(jnp.bfloat16)                    # (TM, TK)
+    acc_ref[:] += lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _dq_matmul_outlier_kernel(refs, *, nk: int, block_size: int, fold: int,
+                              budget: int, out_dtype):
+    (x_ref, codes_ref, se_ref, seo_ref, *oc_pos_refs, out_ref, acc_ref) = refs
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    B = block_size
+    codes = codes_ref[:].astype(jnp.float32)             # (TK, TN)
+    se = se_ref[:].astype(jnp.int32)                     # (TK//B, TN)
+    w = codes * _expand_blocks(_exp2_i32(se - fold), B)
+
+    # outlier side-band: value = oc * 2^(se_out - se_in), scattered to the
+    # in-block row via one masked select per budget slot
+    seo = seo_ref[:].astype(jnp.int32)
+    scale_rel = _exp2_i32(seo - se)                      # (TK//B, TN)
+    tk, tn = w.shape
+    row_in_block = lax.broadcasted_iota(jnp.int32, (tk, tn), 0) % B
+    for kk in range(budget):
+        oc = oc_pos_refs[kk][:].astype(jnp.float32)      # (TK//B, TN)
+        pos = oc_pos_refs[budget + kk][:].astype(jnp.int32)
+        val = _expand_blocks(oc * scale_rel, B)
+        posx = _expand_blocks(pos, B)
+        w = w + jnp.where(row_in_block == posx, val, 0.0)
+
+    x = x_ref[:].astype(jnp.bfloat16)
+    acc_ref[:] += lax.dot_general(
+        x, w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host wrappers
+# ---------------------------------------------------------------------------
+def _tiles(M: int, block_size: int):
+    TM = 128 if M >= 128 else _round_up(max(M, 1), 16)
+    TN = 128
+    # TK/B >= 8 keeps the per-block scale tile a legal (>=8, 128) TPU tile
+    TK = max(8 * block_size, 512)
+    return TM, TN, TK
+
+
+def dequant_matmul(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
+                   interpret: bool = False) -> jax.Array:
+    """y = x @ dequant(w) with dequant fused into the GEMM.
+
+    x: (..., K); w: PackedMX of a (K, N) matrix with axis=0 blocking.
+    """
+    assert w.axis == 0, "fused GEMM expects transposed (K, N) weights"
+    B = w.block_size
+    fold = _scale_fold(w.elem_format)
+    lead = x.shape[:-1]
+    Kp, N = w.codes.shape
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    M = x2.shape[0]
+
+    TM, TN, TK = _tiles(M, B)
+    Mp, Np, Kp2 = _round_up(M, TM), _round_up(N, TN), _round_up(Kp, TK)
+
+    x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp2 - x2.shape[-1])))
+    codes = jnp.pad(w.codes, ((0, Kp2 - Kp), (0, Np - N)))
+    se = jnp.pad(w.scale_exp, ((0, (Kp2 - Kp) // B), (0, Np - N)))
+
+    nk = Kp2 // TK
+    grid = (Mp // TM, Np // TN, nk)
+
+    out = pl.pallas_call(
+        functools.partial(_dq_matmul_kernel, nk=nk, block_size=B,
+                          fold=fold, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TK), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, TN), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK // B, TN), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp2,
+            bytes_accessed=Mp * Kp2 * 2 + Np * Kp2 + Mp * Np * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, codes, se)
+    return out[:M, :N].reshape(lead + (N,))
+
+
+def dequant_matmul_outlier(x: jax.Array, w: PackedMXOutlier,
+                           out_dtype=jnp.float32,
+                           interpret: bool = False) -> jax.Array:
+    """y = x @ dequant(w) for the two-level outlier format ((K, N) layout)."""
+    inl = w.inlier
+    assert inl.axis == 0, "fused GEMM expects transposed (K, N) weights"
+    B = inl.block_size
+    fold = _scale_fold(inl.elem_format)
+    budget = w.out_codes.shape[-1]
+    lead = x.shape[:-1]
+    Kp, N = inl.codes.shape
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    M = x2.shape[0]
+
+    TM, TN, TK = _tiles(M, B)
+    Mp, Np, Kp2 = _round_up(M, TM), _round_up(N, TN), _round_up(Kp, TK)
+    nb_pad = (Kp2 - Kp) // B
+
+    x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp2 - x2.shape[-1])))
+    codes = jnp.pad(inl.codes, ((0, Kp2 - Kp), (0, Np - N)))
+    se = jnp.pad(inl.scale_exp, ((0, nb_pad), (0, Np - N)))
+    seo = jnp.pad(w.out_scale_exp, ((0, nb_pad), (0, Np - N)))
+    ocs = [jnp.pad(w.out_codes[..., kk], ((0, nb_pad), (0, Np - N)))
+           for kk in range(budget)]
+    poss = [jnp.pad(w.out_pos[..., kk], ((0, nb_pad), (0, Np - N)),
+                    constant_values=-1).astype(jnp.int32)
+            for kk in range(budget)]
+
+    nk = Kp2 // TK
+    grid = (Mp // TM, Np // TN, nk)
+    nb_spec = pl.BlockSpec((TK // B, TN), lambda i, j, k: (k, j),
+                           memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        _dq_matmul_outlier_kernel(
+            refs, nk=nk, block_size=B, fold=fold, budget=budget,
+            out_dtype=out_dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TK), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK, TN), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            nb_spec, nb_spec,
+            *([nb_spec] * (2 * budget)),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp2,
+            bytes_accessed=Mp * Kp2 * 2 + Np * Kp2 + Mp * Np * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, codes, se, seo, *ocs, *poss)
+    return out[:M, :N].reshape(lead + (N,))
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX twins (differential-test reference; also the CPU fallback)
+# ---------------------------------------------------------------------------
+def dequant_matmul_reference(x: jax.Array, w: PackedMX,
+                             out_dtype=jnp.float32) -> jax.Array:
+    """Same math as the kernel: dequant to bf16, bf16 MXU dot, f32 acc."""
+    dense = pk.dequantize_mx(w, dtype=jnp.bfloat16)      # (K, N)
+    y = lax.dot_general(
+        x.astype(jnp.bfloat16), dense,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return y.astype(out_dtype)
+
+
+def dequant_matmul_outlier_reference(x: jax.Array, w: PackedMXOutlier,
+                                     out_dtype=jnp.float32) -> jax.Array:
+    dense = pk.dequantize_mx_outlier(w, dtype=jnp.bfloat16)
+    y = lax.dot_general(
+        x.astype(jnp.bfloat16), dense,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return y.astype(out_dtype)

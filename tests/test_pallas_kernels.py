@@ -1,0 +1,118 @@
+"""Differential tests: Pallas kernels (interpret mode on CPU) vs their
+pure-JAX twins — the TPU analog of the reference's CPU-vs-CUDA testing
+(number_system/mx/tests/test_quantize_mx.py:37-66)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import assert_bitexact
+from microscopiq_tpu.ops.packing import (
+    dequantize_mx,
+    dequantize_mx_outlier,
+    pack_mx,
+    pack_mx_outlier,
+)
+from microscopiq_tpu.ops.pallas import (
+    dequant_matmul,
+    dequant_matmul_outlier,
+    dequant_matmul_outlier_reference,
+    dequant_matmul_reference,
+    quantize_mx_pallas,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def _weights_kn(k, n, scale_spread=3.0):
+    """(K, N) weight with per-output-channel magnitude spread."""
+    return (RNG.standard_normal((k, n)) *
+            np.exp(RNG.uniform(-scale_spread, scale_spread, (1, n)))
+            ).astype(np.float32)
+
+
+def test_pack_axis0_roundtrip():
+    W = _weights_kn(96, 48)
+    p = pack_mx(jnp.asarray(W), 8, "fp6_e3m2", 32, axis=0)
+    assert p.codes.shape == (96, 48)
+    assert p.scale_exp.shape == (3, 48)
+    got = np.asarray(dequantize_mx(p))
+    want = np.asarray(dequantize_mx(
+        pack_mx(jnp.asarray(W.T), 8, "fp6_e3m2", 32))).T
+    assert_bitexact(got, want, "axis0 == axis-1 transposed")
+
+
+def test_pack_outlier_axis0_roundtrip():
+    W = _weights_kn(64, 32, 1.0)
+    W[17, 3] = 50.0
+    p = pack_mx_outlier(jnp.asarray(W), 8, 8, "int2", "fp4_e2m1",
+                        std_dev=2, block_size=16, outlier_budget=4, axis=0)
+    assert p.inlier.codes.shape == (64, 32)
+    assert p.out_codes.shape == (4, 32, 4)
+    got = np.asarray(dequantize_mx_outlier(p))
+    want = np.asarray(dequantize_mx_outlier(pack_mx_outlier(
+        jnp.asarray(W.T), 8, 8, "int2", "fp4_e2m1", std_dev=2,
+        block_size=16, outlier_budget=4))).T
+    assert_bitexact(got, want, "outlier axis0 == axis-1 transposed")
+
+
+@pytest.mark.parametrize("fmt", ["fp6_e3m2", "fp4_e2m1", "int8", "int4"])
+@pytest.mark.parametrize("shape", [(8, 512, 256), (1, 384, 640)])
+def test_dequant_matmul_matches_reference(fmt, shape):
+    M, K, N = shape
+    x = RNG.standard_normal((M, K)).astype(np.float32)
+    W = _weights_kn(K, N)
+    p = pack_mx(jnp.asarray(W), 8, fmt, 32, axis=0)
+    got = np.asarray(dequant_matmul(jnp.asarray(x), p, interpret=True))
+    want = np.asarray(dequant_matmul_reference(jnp.asarray(x), p))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+def test_dequant_matmul_batched_input():
+    x = RNG.standard_normal((2, 3, 128)).astype(np.float32)
+    W = _weights_kn(128, 256)
+    p = pack_mx(jnp.asarray(W), 8, "fp6_e3m2", 32, axis=0)
+    got = np.asarray(dequant_matmul(jnp.asarray(x), p, interpret=True))
+    assert got.shape == (2, 3, 256)
+    want = np.asarray(dequant_matmul_reference(jnp.asarray(x), p))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("ifmt,ofmt", [("int2", "fp4_e2m1"),
+                                       ("fp6_e3m2", "fp8_e4m3")])
+def test_dequant_matmul_outlier_matches_reference(ifmt, ofmt):
+    M, K, N = 4, 256, 256
+    x = RNG.standard_normal((M, K)).astype(np.float32)
+    W = _weights_kn(K, N, 1.0)
+    idx = RNG.integers(0, N * K, 64)
+    W.ravel()[idx] *= 25.0
+    p = pack_mx_outlier(jnp.asarray(W), 8, 8, ifmt, ofmt, std_dev=2,
+                        block_size=16, outlier_budget=4, axis=0)
+    got = np.asarray(dequant_matmul_outlier(jnp.asarray(x), p,
+                                            interpret=True))
+    want = np.asarray(dequant_matmul_outlier_reference(jnp.asarray(x), p))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("fmt", ["fp6_e3m2", "fp4_e2m1", "int8", "int2"])
+def test_quantize_kernel_bitexact_vs_pack(fmt):
+    W = (RNG.standard_normal((64, 512)) *
+         np.exp(RNG.uniform(-3, 3, (64, 1)))).astype(np.float32)
+    got = quantize_mx_pallas(jnp.asarray(W), 8, fmt, 32, interpret=True)
+    want = pack_mx(jnp.asarray(W), 8, fmt, 32, exact_scale=True)
+    np.testing.assert_array_equal(
+        np.asarray(got.scale_exp), np.asarray(want.scale_exp))
+    assert_bitexact(np.asarray(got.codes, np.float32),
+                    np.asarray(want.codes, np.float32), f"codes {fmt}")
+    assert_bitexact(np.asarray(dequantize_mx(got)),
+                    np.asarray(dequantize_mx(want)), f"dequant {fmt}")
+
+
+def test_quantize_kernel_ragged():
+    W = RNG.standard_normal((10, 200)).astype(np.float32)
+    got = quantize_mx_pallas(jnp.asarray(W), 8, "fp6_e3m2", 16,
+                             interpret=True)
+    want = pack_mx(jnp.asarray(W), 8, "fp6_e3m2", 16, exact_scale=True)
+    assert got.codes.shape == want.codes.shape
+    assert_bitexact(np.asarray(dequantize_mx(got)),
+                    np.asarray(dequantize_mx(want)), "ragged")
