@@ -1,0 +1,303 @@
+"""Llama-family model (Llama 2/3, Mistral, Mixtral) in flax linen.
+
+Parity targets: the reference calibrates/evaluates HF Llama-family models
+(``llm/llama.py:20-58`` supports llama/mistral/mixtral) and forks HF Llama
+for KV compression (``kv_quant/GEARLM/Simulated/modeling_llama_new.py``,
+RoPE/GQA at :138-340). This is a from-scratch TPU implementation:
+einsum-based GQA attention, RoPE, RMSNorm, SwiGLU MLP, optional MoE
+(Mixtral) and sliding-window masking (Mistral).
+
+Quantization modes (selected per call):
+* ``mx_specs=None``             — plain bf16/fp32 forward.
+* ``mx_specs=...``              — fake-quant MX layers (research parity).
+* ``packed params``             — kernels replaced by PackedMX leaves; the
+                                  forward uses the fused dequant-GEMM.
+
+The forward supports full-sequence (prefill / perplexity) and single-step
+decode with an external KV cache (see microscopiq_tpu.kv).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+
+from ..ops.packing import PackedMX, PackedMXOutlier
+from ..specs import MxSpecs
+from .. import nn as mnn
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    sliding_window: Optional[int] = None       # Mistral
+    num_local_experts: int = 0                 # Mixtral (0 = dense)
+    num_experts_per_tok: int = 2
+    tie_word_embeddings: bool = False
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @staticmethod
+    def tiny(**kw) -> "LlamaConfig":
+        base = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    num_key_value_heads=2, max_position_embeddings=128)
+        base.update(kw)
+        return LlamaConfig(**base)
+
+    @staticmethod
+    def llama3_8b(**kw) -> "LlamaConfig":
+        base = dict(vocab_size=128256, hidden_size=4096,
+                    intermediate_size=14336, num_hidden_layers=32,
+                    num_attention_heads=32, num_key_value_heads=8,
+                    max_position_embeddings=8192, rope_theta=500000.0)
+        base.update(kw)
+        return LlamaConfig(**base)
+
+    @staticmethod
+    def llama2_7b(**kw) -> "LlamaConfig":
+        base = dict(vocab_size=32000, hidden_size=4096,
+                    intermediate_size=11008, num_hidden_layers=32,
+                    num_attention_heads=32, num_key_value_heads=32,
+                    max_position_embeddings=4096)
+        base.update(kw)
+        return LlamaConfig(**base)
+
+    @staticmethod
+    def mistral_7b(**kw) -> "LlamaConfig":
+        base = dict(vocab_size=32000, hidden_size=4096,
+                    intermediate_size=14336, num_hidden_layers=32,
+                    num_attention_heads=32, num_key_value_heads=8,
+                    max_position_embeddings=4096, sliding_window=4096)
+        base.update(kw)
+        return LlamaConfig(**base)
+
+
+def rope(q, k, positions, head_dim, theta):
+    """Rotary embeddings (modeling_llama_new.py:178-240 semantics)."""
+    freqs = 1.0 / (theta ** (jnp.arange(0, head_dim, 2,
+                                        dtype=jnp.float32) / head_dim))
+    angles = positions[..., None].astype(jnp.float32) * freqs  # (B,S,hd/2)
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+
+    def rot(x):
+        x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+        return jnp.concatenate([x1 * cos - x2 * sin,
+                                x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
+class QLinear(fnn.Module):
+    """Linear that dispatches on the parameter's runtime type:
+    dense kernel (plain or fake-quant MX) vs PackedMX (fused GEMM)."""
+
+    features: int
+    mx_specs: Optional[MxSpecs] = None
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+    use_pallas: bool = True
+
+    @fnn.compact
+    def __call__(self, x):
+        kernel_init = fnn.initializers.normal(0.02)
+        kernel = self.param("kernel", kernel_init,
+                            (x.shape[-1], self.features), self.dtype)
+        bias = (self.param("bias", fnn.initializers.zeros,
+                           (self.features,), self.dtype)
+                if self.use_bias else None)
+        if isinstance(kernel, (PackedMX, PackedMXOutlier)):
+            from ..ops.pallas import (dequant_matmul,
+                                      dequant_matmul_outlier,
+                                      dequant_matmul_outlier_reference,
+                                      dequant_matmul_reference)
+            if isinstance(kernel, PackedMX):
+                f = (dequant_matmul if self.use_pallas
+                     else dequant_matmul_reference)
+            else:
+                f = (dequant_matmul_outlier if self.use_pallas
+                     else dequant_matmul_outlier_reference)
+            y = f(x, kernel, out_dtype=self.dtype)
+        elif self.mx_specs is not None:
+            y = mnn.linear(x, kernel.T, None, self.mx_specs)
+        else:
+            y = x @ kernel
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+class Attention(fnn.Module):
+    cfg: LlamaConfig
+    mx_specs: Optional[MxSpecs] = None
+    use_pallas: bool = True
+
+    @fnn.compact
+    def __call__(self, x, positions, mask, cache=None, layer_idx: int = 0):
+        cfg = self.cfg
+        H, KVH, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                      cfg.head_dim)
+        B, S, _ = x.shape
+        mk = lambda feat, name: QLinear(feat, self.mx_specs, False,
+                                        cfg.dtype, self.use_pallas, name=name)
+        q = mk(H * hd, "q_proj")(x).reshape(B, S, H, hd)
+        k = mk(KVH * hd, "k_proj")(x).reshape(B, S, KVH, hd)
+        v = mk(KVH * hd, "v_proj")(x).reshape(B, S, KVH, hd)
+
+        q, k = rope(q, k, positions, hd, cfg.rope_theta)
+
+        if cache is not None:
+            k, v, mask = cache.update(layer_idx, k, v, positions, mask)
+
+        # GQA: repeat kv heads
+        rep = H // k.shape[2]
+        if rep > 1:
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+
+        scale = hd ** -0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        probs = probs.astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, H * hd)
+        return mk(cfg.hidden_size, "o_proj")(out)
+
+
+class MLP(fnn.Module):
+    cfg: LlamaConfig
+    mx_specs: Optional[MxSpecs] = None
+    use_pallas: bool = True
+
+    @fnn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        mk = lambda feat, name: QLinear(feat, self.mx_specs, False,
+                                        cfg.dtype, self.use_pallas, name=name)
+        gate = mk(cfg.intermediate_size, "gate_proj")(x)
+        up = mk(cfg.intermediate_size, "up_proj")(x)
+        return mk(cfg.hidden_size, "down_proj")(jax.nn.silu(gate) * up)
+
+
+class MoEBlock(fnn.Module):
+    """Mixtral sparse MoE MLP (top-k routing)."""
+
+    cfg: LlamaConfig
+    mx_specs: Optional[MxSpecs] = None
+    use_pallas: bool = True
+
+    @fnn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        E, K = cfg.num_local_experts, cfg.num_experts_per_tok
+        B, S, D = x.shape
+        router = QLinear(E, self.mx_specs, False, cfg.dtype,
+                         self.use_pallas, name="gate")(x)  # (B,S,E)
+        weights, sel = jax.lax.top_k(router, K)
+        weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1
+                                 ).astype(x.dtype)
+
+        # dense-compute-all-experts formulation (efficient for small E on
+        # TPU; capacity-based dispatch is a later optimization)
+        def expert(i):
+            return MLP(cfg, self.mx_specs, self.use_pallas,
+                       name=f"experts_{i}")(x)
+
+        outs = jnp.stack([expert(i) for i in range(E)], axis=2)  # (B,S,E,D)
+        onehot = jax.nn.one_hot(sel, E, dtype=x.dtype)           # (B,S,K,E)
+        combine = jnp.einsum("bske,bsk->bse", onehot, weights)
+        return jnp.einsum("bsed,bse->bsd", outs, combine)
+
+
+class DecoderLayer(fnn.Module):
+    cfg: LlamaConfig
+    mx_specs: Optional[MxSpecs] = None
+    use_pallas: bool = True
+
+    @fnn.compact
+    def __call__(self, x, positions, mask, cache=None, layer_idx: int = 0):
+        cfg = self.cfg
+        h = mnn.RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
+                        mx_specs=self.mx_specs, name="input_layernorm")(x)
+        x = x + Attention(cfg, self.mx_specs, self.use_pallas,
+                          name="self_attn")(h, positions, mask, cache,
+                                            layer_idx)
+        h = mnn.RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
+                        mx_specs=self.mx_specs,
+                        name="post_attention_layernorm")(x)
+        if cfg.num_local_experts > 0:
+            x = x + MoEBlock(cfg, self.mx_specs, self.use_pallas,
+                             name="block_sparse_moe")(h)
+        else:
+            x = x + MLP(cfg, self.mx_specs, self.use_pallas, name="mlp")(h)
+        return x
+
+
+def causal_mask(S: int, positions, sliding_window: Optional[int] = None):
+    """(1, 1, S, S) boolean mask; sliding-window variant for Mistral."""
+    qp = positions[:, :, None]          # (B,S,1)
+    kp = positions[:, None, :]          # (B,1,S)
+    m = kp <= qp
+    if sliding_window is not None:
+        m = m & (kp > qp - sliding_window)
+    return m[:, None, :, :]
+
+
+class LlamaModel(fnn.Module):
+    cfg: LlamaConfig
+    mx_specs: Optional[MxSpecs] = None
+    use_pallas: bool = True
+
+    @fnn.compact
+    def __call__(self, input_ids, positions=None, mask=None, cache=None):
+        cfg = self.cfg
+        B, S = input_ids.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+        if mask is None and cache is None:
+            mask = causal_mask(S, positions, cfg.sliding_window)
+
+        embed = self.param("embed_tokens", fnn.initializers.normal(0.02),
+                           (cfg.vocab_size, cfg.hidden_size), cfg.dtype)
+        x = embed[input_ids]
+        for i in range(cfg.num_hidden_layers):
+            x = DecoderLayer(cfg, self.mx_specs, self.use_pallas,
+                             name=f"layers_{i}")(x, positions, mask, cache, i)
+        x = mnn.RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
+                        mx_specs=self.mx_specs, name="norm")(x)
+        return x
+
+
+class LlamaForCausalLM(fnn.Module):
+    cfg: LlamaConfig
+    mx_specs: Optional[MxSpecs] = None
+    use_pallas: bool = True
+
+    @fnn.compact
+    def __call__(self, input_ids, positions=None, mask=None, cache=None):
+        cfg = self.cfg
+        x = LlamaModel(cfg, self.mx_specs, self.use_pallas,
+                       name="model")(input_ids, positions, mask, cache)
+        if cfg.tie_word_embeddings:
+            embed = self.variables["params"]["model"]["embed_tokens"]
+            logits = x @ embed.T
+        else:
+            logits = QLinear(cfg.vocab_size, None, False, cfg.dtype,
+                             self.use_pallas, name="lm_head")(x)
+        return logits

@@ -1,0 +1,134 @@
+"""Model-wide quantization mapping.
+
+TPU-native equivalents of the reference's module-swap utilities:
+
+* :func:`quantize_params` / :func:`find_linear_params` — the pytree analog
+  of ``utils/quant_model.py:15-71`` (recursively replace nn.Linear →
+  MXLinear, skipping ``lm_head``) and ``utils/modelutils.py:5-16``
+  (``find_layers``): in JAX, "replacing a layer" means quantizing its
+  kernel leaves and/or packing them.
+* :func:`mx_op_table` — the analog of ``mx/mx_mapping.py:41-122``'s
+  ``inject_pyt_ops`` monkey-patching: a table mapping op names to their
+  MX-quantized versions for frameworks that want to swap compute fns.
+  (Note: the reference's ``mx_mapping.py`` is broken as shipped — it
+  imports a nonexistent ``Linear``; we provide the working equivalent.)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.outlier import quantize_mx_outlier_op
+from ..ops.packing import pack_mx, pack_mx_outlier
+from ..specs import MxSpecs
+
+
+def find_linear_params(params, skip: Sequence[str] = ("lm_head",)
+                       ) -> Dict[Tuple[str, ...], jax.Array]:
+    """All 2D 'kernel' leaves (the GPTQ targets), keyed by path.
+
+    Analog of ``find_layers`` (utils/modelutils.py:8): collects the
+    quantizable linear weights of a model pytree.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for path, leaf in flat:
+        keys = tuple(getattr(p, "key", getattr(p, "idx", str(p)))
+                     for p in path)
+        if not (hasattr(leaf, "ndim") and leaf.ndim == 2):
+            continue
+        if keys and keys[-1] not in ("kernel", "weight"):
+            continue
+        if any(s in keys for s in skip):
+            continue
+        out[keys] = leaf
+    return out
+
+
+def quantize_params(params, mx_specs: MxSpecs,
+                    skip: Sequence[str] = ("lm_head",)):
+    """Fake-quantize every linear kernel in a model pytree (RTN).
+
+    The pytree analog of quantize_model's Linear→MXLinear swap
+    (utils/quant_model.py:15-71): weights are quantized in place with the
+    outlier-aware MX quantizer; activation quantization happens inside the
+    MX layers at call time.
+    """
+    targets = set(find_linear_params(params, skip).keys())
+
+    def visit(path, leaf):
+        keys = tuple(getattr(p, "key", getattr(p, "idx", str(p)))
+                     for p in path)
+        if keys in targets:
+            return quantize_mx_outlier_op(
+                leaf, mx_specs,
+                inlier_elem_format=mx_specs["w_elem_format"],
+                outlier_elem_format=(mx_specs["w_outlier_elem_format"] or
+                                     mx_specs["w_elem_format"]),
+                axes=[-1])
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def pack_params(params, mx_specs: MxSpecs,
+                skip: Sequence[str] = ("lm_head",),
+                outlier_budget: int = 0):
+    """Pack every linear kernel into PackedMX(axis=0) for the fused GEMM.
+
+    Kernels are assumed flax-style (in_features, out_features); the
+    contraction axis 0 is blocked. Returns a pytree where packed leaves
+    replace the kernels.
+    """
+    targets = set(find_linear_params(params, skip).keys())
+
+    def visit(path, leaf):
+        keys = tuple(getattr(p, "key", getattr(p, "idx", str(p)))
+                     for p in path)
+        if keys in targets:
+            if outlier_budget > 0:
+                return pack_mx_outlier(
+                    leaf, mx_specs["scale_bits"] or 8,
+                    mx_specs["scale_bits"] or 8,
+                    mx_specs["w_elem_format"],
+                    mx_specs["w_outlier_elem_format"] or
+                    mx_specs["w_elem_format"],
+                    std_dev=mx_specs["outlier_std_dev"],
+                    block_size=mx_specs["block_size"],
+                    outlier_budget=outlier_budget, axis=0)
+            return pack_mx(leaf, mx_specs["scale_bits"] or 8,
+                           mx_specs["w_elem_format"],
+                           mx_specs["block_size"], axis=0)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def mx_op_table(mx_specs: MxSpecs) -> Dict[str, Callable]:
+    """Name → MX-quantized op (the working inject_pyt_ops equivalent)."""
+    from . import activations as act
+    from . import simd_ops as simd
+    from .linear import linear, matmul, bmm
+    from .softmax import softmax
+
+    def bind(fn):
+        return lambda *a, **k: fn(*a, mx_specs=mx_specs, **k)
+
+    return {
+        "linear": bind(linear), "matmul": bind(matmul), "bmm": bind(bmm),
+        "softmax": bind(softmax),
+        "relu": bind(act.relu), "relu6": bind(act.relu6),
+        "gelu": bind(act.gelu), "silu": bind(act.silu),
+        "sigmoid": bind(act.sigmoid), "tanh": bind(act.tanh),
+        "leaky_relu": bind(act.leaky_relu),
+        "add": bind(simd.simd_add), "sub": bind(simd.simd_sub),
+        "mul": bind(simd.simd_mul), "div": bind(simd.simd_div),
+        "sqrt": bind(simd.simd_sqrt), "square": bind(simd.simd_square),
+        "exp": bind(simd.simd_exp), "log": bind(simd.simd_log),
+        "sum": bind(simd.simd_reduce_sum),
+        "mean": bind(simd.simd_reduce_mean),
+        "norm": bind(simd.simd_norm),
+    }
