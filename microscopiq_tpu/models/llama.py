@@ -122,6 +122,11 @@ class QLinear(fnn.Module):
         bias = (self.param("bias", fnn.initializers.zeros,
                            (self.features,), self.dtype)
                 if self.use_bias else None)
+        # calibration hook: records this linear's input when the caller
+        # makes 'intermediates' mutable (the flax analog of the reference's
+        # forward-hook Catcher, llm/llama.py:79-95). No-op otherwise.
+        self.sow("intermediates", "gptq_input", x,
+                 init_fn=lambda: (), reduce_fn=lambda _, v: (v,))
         if isinstance(kernel, (PackedMX, PackedMXOutlier)):
             from ..ops.pallas import (dequant_matmul,
                                       dequant_matmul_outlier,

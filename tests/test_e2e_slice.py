@@ -1,0 +1,80 @@
+"""The minimum end-to-end slice (SURVEY.md §7 step 6):
+
+tiny OPT (random weights) → synthetic calibration data → layer-sequential
+GPTQ with the MX-outlier quantizer → perplexity eval, asserting that
+
+1. the pipeline runs end to end,
+2. GPTQ-quantized ppl stays close to the fp32 ppl,
+3. GPTQ beats plain RTN at the same (aggressive) bit-width.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microscopiq_tpu.eval import get_loaders, perplexity
+from microscopiq_tpu.models import OPTConfig, OPTForCausalLM
+from microscopiq_tpu.quant import MXQuantizer
+from microscopiq_tpu.quant.calibrate import gptq_quantize_model
+from microscopiq_tpu.nn import quantize_params
+from microscopiq_tpu.specs import finalize_mx_specs
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = OPTConfig.tiny()
+    model = OPTForCausalLM(cfg)
+    ids0 = jnp.zeros((1, 32), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids0)
+    crops, test_ids = get_loaders("synthetic", nsamples=8, seed=0, seqlen=32)
+    calib = jnp.asarray(np.concatenate(crops, 0) % cfg.vocab_size)
+    test_ids = test_ids % cfg.vocab_size
+    apply_fn = lambda p, ids: model.apply(p, ids)
+    return cfg, model, params, calib, test_ids[:32 * 40], apply_fn
+
+
+def test_e2e_gptq_ppl(setup):
+    cfg, model, params, calib, test_ids, apply_fn = setup
+
+    ppl_fp = perplexity(apply_fn, params, test_ids, seqlen=32, batch=8)
+    # random-init logits are ~uniform: ppl near vocab_size
+    assert np.isfinite(ppl_fp) and ppl_fp < cfg.vocab_size * 2
+
+    qz = MXQuantizer()
+    qz.configure(8, 8, "fp6_e3m2", "fp8_e4m3", std_dev=2, axes=[0],
+                 block_size=32)
+    qparams = gptq_quantize_model("opt", cfg, params, calib, quantizer=qz,
+                                  blocksize=32, verbose=False)
+    ppl_q = perplexity(apply_fn, qparams, test_ids, seqlen=32, batch=8)
+    # fp6 weight-only on a random-init model: near-lossless
+    assert ppl_q < ppl_fp * 1.1, (ppl_q, ppl_fp)
+
+    # weights actually changed
+    w0 = params["params"]["layers_0"]["fc1"]["kernel"]
+    w1 = qparams["params"]["layers_0"]["fc1"]["kernel"]
+    assert not np.allclose(np.asarray(w0), np.asarray(w1))
+
+
+def test_gptq_beats_rtn_at_low_bits(setup):
+    cfg, model, params, calib, test_ids, apply_fn = setup
+
+    qz = MXQuantizer()
+    qz.configure(8, 8, "int2", "fp4_e2m1", std_dev=2, axes=[0],
+                 block_size=16)
+    gptq_params = gptq_quantize_model("opt", cfg, params, calib,
+                                      quantizer=qz, blocksize=32,
+                                      verbose=False)
+    ppl_gptq = perplexity(apply_fn, gptq_params, test_ids, seqlen=32,
+                          batch=8)
+
+    specs = finalize_mx_specs({
+        "w_elem_format": "int2", "w_outlier_elem_format": "fp4_e2m1",
+        "scale_bits": 8, "block_size": 16, "bfloat": 16})
+    rtn_tree = quantize_params(params["params"], specs,
+                               skip=("embed_tokens", "embed_positions"))
+    ppl_rtn = perplexity(apply_fn, {"params": rtn_tree}, test_ids,
+                         seqlen=32, batch=8)
+    ppl_fp = perplexity(apply_fn, params, test_ids, seqlen=32, batch=8)
+    assert ppl_gptq < ppl_rtn, (ppl_gptq, ppl_rtn)
+    assert ppl_gptq < ppl_fp * 3  # int2 is aggressive but not catastrophic
