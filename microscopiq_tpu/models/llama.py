@@ -132,11 +132,18 @@ class QLinear(fnn.Module):
                                       dequant_matmul_outlier,
                                       dequant_matmul_outlier_reference,
                                       dequant_matmul_reference)
+            # Dispatch on token count: at prefill (compute-bound) XLA's
+            # dequant-then-dot amortizes the weight convert over many
+            # tokens; at decode (bandwidth-bound) the fused kernel streams
+            # packed bytes without materializing bf16 weights in HBM.
+            ntok = 1
+            for d in x.shape[:-1]:
+                ntok *= d
+            fused = self.use_pallas and ntok < 256
             if isinstance(kernel, PackedMX):
-                f = (dequant_matmul if self.use_pallas
-                     else dequant_matmul_reference)
+                f = dequant_matmul if fused else dequant_matmul_reference
             else:
-                f = (dequant_matmul_outlier if self.use_pallas
+                f = (dequant_matmul_outlier if fused
                      else dequant_matmul_outlier_reference)
             y = f(x, kernel, out_dtype=self.dtype)
         elif self.mx_specs is not None:
