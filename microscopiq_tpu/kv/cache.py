@@ -1,0 +1,301 @@
+"""Static-shape KV caches for jitted decode.
+
+The reference's caches grow by concatenation per step
+(``Simulated/cache_utils.py:118-157``) and re-compress the whole window
+every ``streaming_gap`` tokens (``modeling_llama_new.py:944-1031``,
+``StreamCompressedCache.update`` ``streaming_cache_utils.py:310-379``).
+Under XLA that is a re-trace per length, so the TPU design uses
+preallocated chunked buffers (SURVEY.md §7 hard-part 5):
+
+* tokens land in a small bf16 **residual** window (the KIVI residual /
+  streaming-gap semantics: recent tokens stay full precision),
+* when the residual fills (every ``gap`` tokens) it is quantized as one
+  chunk into the packed store — K per-channel within the chunk (KIVI's
+  channel grouping with group_size = gap), V per-token feature groups,
+* attention consumes dequantized chunks + the residual with validity
+  masks; every shape is static, so one compiled step serves all lengths.
+
+Caches are plain Python objects wrapping a pytree state; ``update`` is
+functional (returns full K/V + mask, collects the new state), and the
+driver threads ``cache.state`` through the jitted step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Dense cache
+# ---------------------------------------------------------------------------
+@flax.struct.dataclass
+class DenseKVState:
+    k: jax.Array          # (L, B, S_max, KVH, hd)
+    v: jax.Array
+    length: jax.Array     # () int32
+
+
+def init_dense_cache(n_layers, batch, max_len, kv_heads, head_dim,
+                     dtype=jnp.bfloat16) -> DenseKVState:
+    shape = (n_layers, batch, max_len, kv_heads, head_dim)
+    return DenseKVState(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                        jnp.zeros((), jnp.int32))
+
+
+class DenseDecodeCache:
+    """Full-precision ring cache (the TPU analog of HF DynamicCache)."""
+
+    def __init__(self, state: DenseKVState):
+        self.state = state
+        self._new_k = state.k
+        self._new_v = state.v
+        self._new_len = state.length
+
+    def update(self, layer_idx: int, k, v, positions, mask):
+        st = self.state
+        B, S, KVH, hd = k.shape
+        kl = jax.lax.dynamic_update_slice(
+            st.k[layer_idx], k.astype(st.k.dtype), (0, st.length, 0, 0))
+        vl = jax.lax.dynamic_update_slice(
+            st.v[layer_idx], v.astype(st.v.dtype), (0, st.length, 0, 0))
+        self._new_k = self._new_k.at[layer_idx].set(kl)
+        self._new_v = self._new_v.at[layer_idx].set(vl)
+        new_len = st.length + S
+        self._new_len = new_len
+
+        S_max = st.k.shape[2]
+        key_pos = jnp.arange(S_max)[None, :]
+        q_pos = positions                       # (B, S)
+        mask = (key_pos[:, None, :] <= q_pos[..., None]) & \
+               (key_pos[:, None, :] < new_len)
+        return kl, vl, mask[:, None, :, :]
+
+    def finalize(self) -> DenseKVState:
+        return DenseKVState(self._new_k, self._new_v, self._new_len)
+
+
+# ---------------------------------------------------------------------------
+# Quantized chunked cache (KIVI / GEAR grouped storage)
+# ---------------------------------------------------------------------------
+@flax.struct.dataclass
+class QuantKVState:
+    # chunked stores: (L, B, C, gap, KVH, hd) uint8 codes
+    kq: jax.Array
+    vq: jax.Array
+    # K: per-channel scales within each chunk (L, B, C, 1, KVH, hd)
+    k_mn: jax.Array
+    k_sc: jax.Array
+    # V: per-token feature-group scales (L, B, C, gap, G_count)
+    v_mn: jax.Array
+    v_sc: jax.Array
+    # residual recent-token window (L, B, gap, KVH, hd)
+    res_k: jax.Array
+    res_v: jax.Array
+    length: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantKVConfig:
+    bits: int = 4
+    gap: int = 64            # streaming gap == K channel group size
+    v_group: int = 64        # V feature group size
+    residual_dtype: jnp.dtype = jnp.bfloat16
+
+
+def init_quant_cache(n_layers, batch, max_len, kv_heads, head_dim,
+                     cfg: QuantKVConfig = QuantKVConfig()) -> QuantKVState:
+    assert max_len % cfg.gap == 0
+    C = max_len // cfg.gap
+    feat = kv_heads * head_dim
+    assert feat % cfg.v_group == 0
+    G = feat // cfg.v_group
+    z = jnp.zeros
+    return QuantKVState(
+        kq=z((n_layers, batch, C, cfg.gap, kv_heads, head_dim), jnp.uint8),
+        vq=z((n_layers, batch, C, cfg.gap, kv_heads, head_dim), jnp.uint8),
+        k_mn=z((n_layers, batch, C, 1, kv_heads, head_dim), jnp.float32),
+        k_sc=z((n_layers, batch, C, 1, kv_heads, head_dim), jnp.float32),
+        v_mn=z((n_layers, batch, C, cfg.gap, G), jnp.float32),
+        v_sc=z((n_layers, batch, C, cfg.gap, G), jnp.float32),
+        res_k=z((n_layers, batch, cfg.gap, kv_heads, head_dim),
+                cfg.residual_dtype),
+        res_v=z((n_layers, batch, cfg.gap, kv_heads, head_dim),
+                cfg.residual_dtype),
+        length=z((), jnp.int32),
+    )
+
+
+def _quant_chunk_k(chunk: jax.Array, bits: int):
+    """K chunk (B, nch, gap, KVH, hd): per-channel min/max over the token
+    axis inside the chunk (KIVI channel grouping)."""
+    x = chunk.astype(jnp.float32)
+    mn = x.min(axis=2, keepdims=True)
+    mx = x.max(axis=2, keepdims=True)
+    sc = (mx - mn) / (2 ** bits - 1)
+    sc = jnp.where(sc == 0, 1.0, sc)
+    codes = jnp.clip(jnp.round((x - mn) / sc), 0, 2 ** bits - 1
+                     ).astype(jnp.uint8)
+    return codes, mn, sc
+
+
+def _quant_chunk_v(chunk: jax.Array, bits: int, v_group: int):
+    """V chunk (B, nch, gap, KVH, hd): per-token feature groups."""
+    B, nch, gap, KVH, hd = chunk.shape
+    G = (KVH * hd) // v_group
+    x = chunk.astype(jnp.float32).reshape(B, nch, gap, G, v_group)
+    mn = x.min(-1, keepdims=True)
+    mx = x.max(-1, keepdims=True)
+    sc = (mx - mn) / (2 ** bits - 1)
+    sc = jnp.where(sc == 0, 1.0, sc)
+    codes = jnp.clip(jnp.round((x - mn) / sc), 0, 2 ** bits - 1
+                     ).astype(jnp.uint8)
+    return (codes.reshape(chunk.shape), mn[..., 0], sc[..., 0])
+
+
+def _dequant_k(codes, mn, sc, dtype):
+    return (codes.astype(jnp.float32) * sc + mn).astype(dtype)
+
+
+def _dequant_v(codes, mn, sc, v_group, dtype):
+    B, C, gap, KVH, hd = codes.shape
+    G = (KVH * hd) // v_group
+    x = codes.astype(jnp.float32).reshape(B, C, gap, G, v_group)
+    x = x * sc[..., None] + mn[..., None]
+    return x.reshape(codes.shape).astype(dtype)
+
+
+class QuantizedDecodeCache:
+    """4/2-bit grouped KV cache with fp residual window."""
+
+    def __init__(self, state: QuantKVState, cfg: QuantKVConfig):
+        self.state = state
+        self.cfg = cfg
+        self._upd = {f: getattr(state, f) for f in
+                     ("kq", "vq", "k_mn", "k_sc", "v_mn", "v_sc",
+                      "res_k", "res_v")}
+        self._new_len = state.length
+
+    # -- internals ---------------------------------------------------------
+    def _ingest_prefill(self, layer_idx, k, v):
+        st, cfg = self.state, self.cfg
+        B, S, KVH, hd = k.shape
+        gap = cfg.gap
+        nch = S // gap
+        if nch > 0:
+            kc = k[:, :nch * gap].reshape(B, nch, gap, KVH, hd)
+            vc = v[:, :nch * gap].reshape(B, nch, gap, KVH, hd)
+            kq, kmn, ksc = _quant_chunk_k(kc, cfg.bits)
+            vq, vmn, vsc = _quant_chunk_v(vc, cfg.bits, cfg.v_group)
+            for name, val in (("kq", kq), ("k_mn", kmn), ("k_sc", ksc),
+                              ("vq", vq), ("v_mn", vmn), ("v_sc", vsc)):
+                buf = self._upd[name][layer_idx]
+                buf = jax.lax.dynamic_update_slice(
+                    buf, val.astype(buf.dtype),
+                    (0, 0) + (0,) * (buf.ndim - 2))
+                self._upd[name] = self._upd[name].at[layer_idx].set(buf)
+        tail = S - nch * gap
+        res_k = jnp.zeros_like(st.res_k[layer_idx])
+        res_v = jnp.zeros_like(st.res_v[layer_idx])
+        if tail > 0:
+            res_k = res_k.at[:, :tail].set(
+                k[:, nch * gap:].astype(res_k.dtype))
+            res_v = res_v.at[:, :tail].set(
+                v[:, nch * gap:].astype(res_v.dtype))
+        self._upd["res_k"] = self._upd["res_k"].at[layer_idx].set(res_k)
+        self._upd["res_v"] = self._upd["res_v"].at[layer_idx].set(res_v)
+
+    def _ingest_decode(self, layer_idx, k, v):
+        st, cfg = self.state, self.cfg
+        gap = cfg.gap
+        slot = st.length % gap
+        res_k = jax.lax.dynamic_update_slice(
+            self._upd["res_k"][layer_idx], k.astype(st.res_k.dtype),
+            (0, slot, 0, 0))
+        res_v = jax.lax.dynamic_update_slice(
+            self._upd["res_v"][layer_idx], v.astype(st.res_v.dtype),
+            (0, slot, 0, 0))
+
+        new_len = st.length + 1
+        chunk_ready = (new_len % gap) == 0
+        chunk_idx = new_len // gap - 1
+
+        def fold(args):
+            kq, kmn, ksc, vq, vmn, vsc = args
+            kcq, kcmn, kcsc = _quant_chunk_k(
+                res_k[:, None].astype(jnp.float32), cfg.bits)
+            vcq, vcmn, vcsc = _quant_chunk_v(
+                res_v[:, None].astype(jnp.float32), cfg.bits, cfg.v_group)
+            upd = lambda buf, val: jax.lax.dynamic_update_slice(
+                buf, val.astype(buf.dtype),
+                (0, chunk_idx) + (0,) * (buf.ndim - 2))
+            return (upd(kq, kcq), upd(kmn, kcmn), upd(ksc, kcsc),
+                    upd(vq, vcq), upd(vmn, vcmn), upd(vsc, vcsc))
+
+        bufs = tuple(self._upd[n][layer_idx] for n in
+                     ("kq", "k_mn", "k_sc", "vq", "v_mn", "v_sc"))
+        bufs = jax.lax.cond(chunk_ready, fold, lambda a: a, bufs)
+        for n, b in zip(("kq", "k_mn", "k_sc", "vq", "v_mn", "v_sc"), bufs):
+            self._upd[n] = self._upd[n].at[layer_idx].set(b)
+        self._upd["res_k"] = self._upd["res_k"].at[layer_idx].set(res_k)
+        self._upd["res_v"] = self._upd["res_v"].at[layer_idx].set(res_v)
+
+    # -- protocol ----------------------------------------------------------
+    def update(self, layer_idx: int, k, v, positions, mask):
+        st, cfg = self.state, self.cfg
+        B, S, KVH, hd = k.shape
+        gap = cfg.gap
+        if S > 1:
+            self._ingest_prefill(layer_idx, k, v)
+        else:
+            self._ingest_decode(layer_idx, k, v)
+        new_len = st.length + S
+        self._new_len = new_len
+
+        # assemble keys/values: dequantized chunks ++ residual
+        kq = self._upd["kq"][layer_idx]
+        vq = self._upd["vq"][layer_idx]
+        C = kq.shape[1]
+        k_chunks = _dequant_k(kq, self._upd["k_mn"][layer_idx],
+                              self._upd["k_sc"][layer_idx], k.dtype)
+        v_chunks = _dequant_v(vq, self._upd["v_mn"][layer_idx],
+                              self._upd["v_sc"][layer_idx], cfg.v_group,
+                              k.dtype)
+        k_chunks = k_chunks.reshape(B, C * gap, KVH, hd)
+        v_chunks = v_chunks.reshape(B, C * gap, KVH, hd)
+        k_all = jnp.concatenate(
+            [k_chunks, self._upd["res_k"][layer_idx].astype(k.dtype)], 1)
+        v_all = jnp.concatenate(
+            [v_chunks, self._upd["res_v"][layer_idx].astype(k.dtype)], 1)
+
+        nfull = new_len // gap
+        res_len = new_len % gap
+        # positions of stored tokens
+        chunk_pos = jnp.arange(C * gap)
+        chunk_valid = chunk_pos < nfull * gap
+        res_pos = nfull * gap + jnp.arange(gap)
+        res_valid = jnp.arange(gap) < res_len
+        key_pos = jnp.concatenate([chunk_pos, res_pos])
+        key_valid = jnp.concatenate([chunk_valid, res_valid])
+
+        q_pos = positions                                # (B, S)
+        m = (key_pos[None, None, :] <= q_pos[..., None]) & \
+            key_valid[None, None, :]
+        return k_all, v_all, m[:, None, :, :]
+
+    def finalize(self) -> QuantKVState:
+        return QuantKVState(length=self._new_len, **self._upd)
+
+    @property
+    def compression_ratio(self) -> float:
+        cfg = self.cfg
+        st = self.state
+        KVH, hd = st.res_k.shape[-2:]
+        feat = KVH * hd
+        bytes_q = (cfg.bits / 8) * feat + \
+            8 * feat / cfg.gap + 8 * feat / cfg.v_group
+        return (2.0 * feat) / bytes_q

@@ -166,5 +166,54 @@ def _regen_weight():
     return lin.weight.detach().numpy()
 
 
+def gen_gear():
+    """GEAR/KIVI codec fixtures from the reference's compress_function /
+    TrueCompressFunction (run separately: python scripts/gen_golden.py gear)."""
+    # the reference package __init__ is broken (missing H2OCache import,
+    # SURVEY.md §4) — load the codec modules directly by file path
+    import importlib.util
+
+    def _load(name, rel):
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(REF, "kv_quant", rel))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    cf = _load("cf", "GEARLM/Simulated/compress_function.py")
+    tcf = _load("tcf", "GEARLM/TrueCompression/models/TrueCompressFunction.py")
+
+    torch.manual_seed(3)
+    x = torch.randn(2, 4, 64, 32)  # (B, H, S, D)
+    cases = {"x": x.numpy()}
+    cases["token4_g32"] = cf.fake_groupwise_token_asymmetric_quantization(
+        x.clone(), 4, 32).numpy()
+    cases["token2_g64"] = cf.fake_groupwise_token_asymmetric_quantization(
+        x.clone(), 2, 64).numpy()
+    cases["chan4_g32"] = cf.fake_groupwise_channel_asymmetric_quantization_new(
+        x.clone(), 4, 32).numpy()
+    cases["uniform4"] = cf.fake_uniformquantization(x.clone(), 4).numpy()
+    cases["densesparse4"] = cf.fake_dense_sparse_uniformquantization(
+        x.clone(), 4, 0.05).numpy()
+
+    c, shape, mn, sc = tcf.true_uniform_quantization_compress(x.clone(), 4)
+    cases["true_u4_codes"] = c.numpy()
+    cases["true_u4_meta"] = np.array([mn.item(), sc.item()], np.float32)
+    dec = tcf.true_uniform_quantization_decompress(
+        c, 4, shape, mn, sc, torch.float32)
+    cases["true_u4_dec"] = dec.numpy()
+
+    c8, shape8, mn8, sc8 = tcf.true_uniform_quantization_compress(x.clone(), 8)
+    dec8 = tcf.true_uniform_quantization_decompress(
+        c8, 8, shape8, mn8, sc8, torch.float32)
+    cases["true_u8_dec"] = dec8.numpy()
+
+    np.savez_compressed(os.path.join(OUT, "gear.npz"), **cases)
+    print(f"gear: {len(cases)} cases")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "gear":
+        gen_gear()
+    else:
+        main()

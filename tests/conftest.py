@@ -48,3 +48,8 @@ def golden_outlier():
 @pytest.fixture(scope="session")
 def golden_gptq():
     return np.load(GOLDEN / "gptq.npz")
+
+
+@pytest.fixture(scope="session")
+def golden_gear():
+    return np.load(GOLDEN / "gear.npz")
