@@ -1,0 +1,124 @@
+"""Checkpoint IO for packed quantized models.
+
+TPU analog of the reference's quantized-checkpoint path
+(``opt_pack3``/``load_quant3``, ``llm/opt.py:255-294``): instead of packed
+int3 torch state dicts, packed-MX pytrees (codes + scales + outlier
+side-bands) are saved with orbax, with the static packing metadata stored
+alongside so the tree can be reconstructed without a template.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from ..ops.packing import PackedMX, PackedMXOutlier
+
+_PACKED_TYPES = (PackedMX, PackedMXOutlier)
+
+
+def _is_packed(x):
+    return isinstance(x, _PACKED_TYPES)
+
+
+def save_checkpoint(path: str, tree: Any) -> None:
+    """Save a (possibly packed) pytree: arrays to an .npz, structure +
+    static packing metadata to JSON."""
+    os.makedirs(path, exist_ok=True)
+    arrays = {}
+    meta = {"leaves": []}
+
+    flat = jax.tree_util.tree_flatten_with_path(
+        tree, is_leaf=_is_packed)[0]
+    for i, (kpath, leaf) in enumerate(flat):
+        keys = [str(getattr(p, "key", getattr(p, "idx", p))) for p in kpath]
+        entry = {"path": keys}
+        if isinstance(leaf, PackedMX):
+            entry["kind"] = "PackedMX"
+            entry["static"] = {
+                "elem_format": leaf.elem_format,
+                "block_size": leaf.block_size,
+                "scale_bits": leaf.scale_bits,
+                "orig_dim": leaf.orig_dim, "axis": leaf.axis}
+            arrays[f"{i}.codes"] = np.asarray(leaf.codes)
+            arrays[f"{i}.scale_exp"] = np.asarray(leaf.scale_exp)
+        elif isinstance(leaf, PackedMXOutlier):
+            entry["kind"] = "PackedMXOutlier"
+            entry["static"] = {
+                "elem_format": leaf.inlier.elem_format,
+                "block_size": leaf.inlier.block_size,
+                "scale_bits": leaf.inlier.scale_bits,
+                "orig_dim": leaf.inlier.orig_dim,
+                "axis": leaf.inlier.axis,
+                "outlier_format": leaf.outlier_format,
+                "outlier_scale_bits": leaf.outlier_scale_bits}
+            arrays[f"{i}.codes"] = np.asarray(leaf.inlier.codes)
+            arrays[f"{i}.scale_exp"] = np.asarray(leaf.inlier.scale_exp)
+            arrays[f"{i}.out_codes"] = np.asarray(leaf.out_codes)
+            arrays[f"{i}.out_pos"] = np.asarray(leaf.out_pos)
+            arrays[f"{i}.out_scale_exp"] = np.asarray(leaf.out_scale_exp)
+        else:
+            entry["kind"] = "array"
+            arrays[f"{i}.a"] = np.asarray(leaf)
+        # record dtype names for fp8 containers (npz keeps raw dtypes)
+        meta["leaves"].append(entry)
+
+    np.savez(os.path.join(path, "arrays.npz"), **{
+        k: (v.view(np.uint8) if v.dtype.name.startswith("float8") else v)
+        for k, v in arrays.items()})
+    meta["dtypes"] = {k: v.dtype.name for k, v in arrays.items()}
+    with open(os.path.join(path, "structure.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint(path: str) -> Any:
+    """Load a checkpoint saved by :func:`save_checkpoint` into a nested
+    dict pytree with packed leaves reconstructed."""
+    import jax.numpy as jnp
+
+    with open(os.path.join(path, "structure.json")) as f:
+        meta = json.load(f)
+    data = np.load(os.path.join(path, "arrays.npz"))
+
+    def arr(key):
+        a = data[key]
+        dt = meta["dtypes"][key]
+        if dt.startswith("float8"):
+            return jnp.asarray(a).view(getattr(jnp, dt))
+        return jnp.asarray(a)
+
+    root: dict = {}
+    for i, entry in enumerate(meta["leaves"]):
+        node = root
+        for k in entry["path"][:-1]:
+            node = node.setdefault(k, {})
+        last = entry["path"][-1]
+        st = entry.get("static", {})
+        if entry["kind"] == "PackedMX":
+            node[last] = PackedMX(
+                codes=arr(f"{i}.codes"), scale_exp=arr(f"{i}.scale_exp"),
+                elem_format=st["elem_format"], block_size=st["block_size"],
+                scale_bits=st["scale_bits"], orig_dim=st["orig_dim"],
+                axis=st["axis"])
+        elif entry["kind"] == "PackedMXOutlier":
+            node[last] = PackedMXOutlier(
+                inlier=PackedMX(
+                    codes=arr(f"{i}.codes"),
+                    scale_exp=arr(f"{i}.scale_exp"),
+                    elem_format=st["elem_format"],
+                    block_size=st["block_size"],
+                    scale_bits=st["scale_bits"],
+                    orig_dim=st["orig_dim"], axis=st["axis"]),
+                out_codes=arr(f"{i}.out_codes"),
+                out_pos=arr(f"{i}.out_pos"),
+                out_scale_exp=arr(f"{i}.out_scale_exp"),
+                outlier_format=st["outlier_format"],
+                outlier_scale_bits=st["outlier_scale_bits"])
+        else:
+            node[last] = arr(f"{i}.a")
+    return root

@@ -1,0 +1,95 @@
+"""Tests for VQ quantizer, profilers, and packed-checkpoint IO."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microscopiq_tpu.quant.vq import VQQuantizer, get_assignments, kmeans_vq
+from microscopiq_tpu.utils import (
+    analyze_outliers,
+    format_mse_profile,
+    profile_model_outliers,
+)
+from microscopiq_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+RNG = np.random.default_rng(11)
+
+
+def test_kmeans_recovers_clusters():
+    centers = np.array([[0, 0], [5, 5], [-5, 5], [5, -5]], np.float32)
+    X = np.concatenate([c + 0.1 * RNG.standard_normal((64, 2))
+                        for c in centers]).astype(np.float32)
+    cents, assign = kmeans_vq(jnp.asarray(X), 4, iters=12)
+    # every recovered centroid is near a true center
+    d = np.abs(np.asarray(cents)[:, None, :] - centers[None]).sum(-1).min(1)
+    assert (d < 0.5).all(), d
+
+
+def test_weighted_assignments():
+    X = jnp.asarray([[1.0, 10.0]])
+    C = jnp.asarray([[1.0, 0.0], [0.0, 10.0]])
+    # unweighted: closer to c1 (distance 100 vs 1+... -> c1=100, c0=100?) use
+    # weights emphasizing dim 0
+    w = jnp.asarray([[100.0, 1.0]])
+    a = get_assignments(X, C, w)
+    assert int(a[0]) == 0  # heavy weight on dim0 -> match c0's dim0
+
+
+def test_vq_quantizer_reduces_levels():
+    W = RNG.standard_normal((16, 32)).astype(np.float32)
+    q = VQQuantizer(vec_dim=2, bits=2, kmeans_iters=8)
+    Wq = np.asarray(q.quantize(jnp.asarray(W)))
+    assert Wq.shape == W.shape
+    # vectors quantized to at most 2^(2*2)=16 distinct codewords
+    vecs = np.unique(np.round(Wq.reshape(-1, 2), 6), axis=0)
+    assert len(vecs) <= 16
+    assert np.abs(Wq - W).mean() < np.abs(W).mean()
+
+
+def test_analyze_outliers():
+    W = RNG.standard_normal((64, 64)).astype(np.float32)
+    W[3, 7] = 40.0
+    W[3, 8] = -35.0  # adjacent outliers
+    stats = analyze_outliers(W, std_dev=2.5, block_size=16)
+    assert 0 < stats["outlier_fraction"] < 0.1
+    assert stats["max_outliers_per_block"] >= 2
+    assert stats["adjacent_outlier_rate"] > 0
+
+
+def test_profile_model_outliers():
+    params = {"a": {"kernel": jnp.asarray(RNG.standard_normal((32, 16)),
+                                          jnp.float32)}}
+    out = profile_model_outliers(params)
+    assert "a/kernel" in out
+
+
+def test_format_mse_monotone_in_bits():
+    mse = format_mse_profile(["int8", "int4", "int2"])
+    assert mse["int8"] < mse["int4"] < mse["int2"]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from microscopiq_tpu.ops.packing import (dequantize_mx,
+                                             dequantize_mx_outlier, pack_mx,
+                                             pack_mx_outlier)
+    W = jnp.asarray(RNG.standard_normal((64, 32)), jnp.float32)
+    tree = {
+        "model": {
+            "dense": jnp.asarray(RNG.standard_normal((4, 4)), jnp.float32),
+            "packed": pack_mx(W, 8, "fp6_e3m2", 32, axis=0),
+            "packed_out": pack_mx_outlier(W, 8, 8, "int2", "fp4_e2m1",
+                                          block_size=16, outlier_budget=4,
+                                          axis=0),
+        }
+    }
+    save_checkpoint(str(tmp_path / "ck"), tree)
+    back = load_checkpoint(str(tmp_path / "ck"))
+    np.testing.assert_array_equal(np.asarray(back["model"]["dense"]),
+                                  np.asarray(tree["model"]["dense"]))
+    np.testing.assert_array_equal(
+        np.asarray(dequantize_mx(back["model"]["packed"])),
+        np.asarray(dequantize_mx(tree["model"]["packed"])))
+    np.testing.assert_array_equal(
+        np.asarray(dequantize_mx_outlier(back["model"]["packed_out"])),
+        np.asarray(dequantize_mx_outlier(tree["model"]["packed_out"])))
