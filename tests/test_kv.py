@@ -243,3 +243,41 @@ def test_generate_with_caches():
                      cache_kind="quant",
                      quant_cfg=QuantKVConfig(bits=8, gap=8, v_group=16))
     assert out_q.shape == (2, 6)
+
+
+def test_sink_cache_window_and_rerotation():
+    from microscopiq_tpu.kv import SinkDecodeCache, init_sink_cache
+    B, KVH, hd = 1, 1, 8
+    sink, window = 2, 4
+    state = init_sink_cache(1, B, sink, window, KVH, hd, jnp.float32)
+
+    # feed 10 tokens one by one; keys rotated at their slot positions
+    import microscopiq_tpu.models.llama as L
+    raw_ks = [jnp.asarray(RNG.standard_normal((B, 1, KVH, hd)), jnp.float32)
+              for _ in range(10)]
+    for t, kr in enumerate(raw_ks):
+        cache = SinkDecodeCache(state, sink)
+        slot = cache.slot_positions(1)[None, :]
+        k_rot, _ = L.rope(kr, kr, slot, hd, 10000.0)
+        k_all, v_all, mask = cache.update(0, k_rot, kr, slot, None)
+        state = cache.finalize()
+        live = int(np.asarray(mask).sum())
+        assert live == min(t + 1, sink + window)
+
+    assert int(state.length) == 10
+    # sink tokens stay: slot 0/1 hold tokens 0/1 rotated at slots 0/1
+    k0_expect, _ = L.rope(raw_ks[0], raw_ks[0],
+                          jnp.asarray([[0]]), hd, 10000.0)
+    np.testing.assert_allclose(np.asarray(state.k[0][:, 0]),
+                               np.asarray(k0_expect[:, 0]), atol=1e-5)
+    # the newest token sits in the last slot, rotated at slot C-1
+    kn_expect, _ = L.rope(raw_ks[-1], raw_ks[-1],
+                          jnp.asarray([[sink + window - 1]]), hd, 10000.0)
+    np.testing.assert_allclose(np.asarray(state.k[0][:, -1]),
+                               np.asarray(kn_expect[:, 0]), atol=1e-5)
+    # re-rotation consistency: token 7 entered at slot 5 when length was 7;
+    # after 2 evictions it sits at slot 3 with phase rotated back by 2
+    k7_expect, _ = L.rope(raw_ks[7], raw_ks[7],
+                          jnp.asarray([[3]]), hd, 10000.0)
+    np.testing.assert_allclose(np.asarray(state.k[0][:, 3]),
+                               np.asarray(k7_expect[:, 0]), atol=1e-4)
