@@ -277,9 +277,12 @@ class LlamaModel(fnn.Module):
     use_pallas: bool = True
 
     @fnn.compact
-    def __call__(self, input_ids, positions=None, mask=None, cache=None):
+    def __call__(self, input_ids, positions=None, mask=None, cache=None,
+                 inputs_embeds=None, image_feats=None,
+                 image_token_mask=None):
         cfg = self.cfg
-        B, S = input_ids.shape
+        B, S = (input_ids.shape if inputs_embeds is None
+                else inputs_embeds.shape[:2])
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
         if mask is None and cache is None:
@@ -287,7 +290,15 @@ class LlamaModel(fnn.Module):
 
         embed = self.param("embed_tokens", fnn.initializers.normal(0.02),
                            (cfg.vocab_size, cfg.hidden_size), cfg.dtype)
-        x = embed[input_ids]
+        if inputs_embeds is None:
+            safe_ids = (input_ids if image_token_mask is None
+                        else jnp.where(image_token_mask, 0, input_ids))
+            x = embed[safe_ids]
+        else:
+            x = inputs_embeds
+        if image_feats is not None:
+            from ..vlm.llava import splice_image_features
+            x = splice_image_features(x, image_feats, image_token_mask)
         for i in range(cfg.num_hidden_layers):
             x = DecoderLayer(cfg, self.mx_specs, self.use_pallas,
                              name=f"layers_{i}")(x, positions, mask, cache, i)
@@ -302,10 +313,12 @@ class LlamaForCausalLM(fnn.Module):
     use_pallas: bool = True
 
     @fnn.compact
-    def __call__(self, input_ids, positions=None, mask=None, cache=None):
+    def __call__(self, input_ids, positions=None, mask=None, cache=None,
+                 inputs_embeds=None):
         cfg = self.cfg
         x = LlamaModel(cfg, self.mx_specs, self.use_pallas,
-                       name="model")(input_ids, positions, mask, cache)
+                       name="model")(input_ids, positions, mask, cache,
+                                     inputs_embeds)
         if cfg.tie_word_embeddings:
             embed = self.variables["params"]["model"]["embed_tokens"]
             logits = x @ embed.T
