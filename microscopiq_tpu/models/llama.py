@@ -47,6 +47,11 @@ class LlamaConfig:
     num_experts_per_tok: int = 2
     tie_word_embeddings: bool = False
     dtype: Any = jnp.float32
+    # serving-mode layout: q/k/v and gate/up each merged into one wide
+    # projection (one fused dequant-GEMM call instead of three/two —
+    # bigger DMAs, fewer kernel launches). Params in this layout come
+    # from nn.mapping.fuse_projections; calibration/loading stay unfused.
+    fused_projections: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -168,27 +173,43 @@ class Attention(fnn.Module):
         B, S, _ = x.shape
         mk = lambda feat, name: QLinear(feat, self.mx_specs, False,
                                         cfg.dtype, self.use_pallas, name=name)
-        q = mk(H * hd, "q_proj")(x).reshape(B, S, H, hd)
-        k = mk(KVH * hd, "k_proj")(x).reshape(B, S, KVH, hd)
-        v = mk(KVH * hd, "v_proj")(x).reshape(B, S, KVH, hd)
+        if cfg.fused_projections:
+            qkv = mk((H + 2 * KVH) * hd, "qkv_proj")(x)
+            q = qkv[..., :H * hd].reshape(B, S, H, hd)
+            k = qkv[..., H * hd:(H + KVH) * hd].reshape(B, S, KVH, hd)
+            v = qkv[..., (H + KVH) * hd:].reshape(B, S, KVH, hd)
+        else:
+            q = mk(H * hd, "q_proj")(x).reshape(B, S, H, hd)
+            k = mk(KVH * hd, "k_proj")(x).reshape(B, S, KVH, hd)
+            v = mk(KVH * hd, "v_proj")(x).reshape(B, S, KVH, hd)
 
         q, k = rope(q, k, positions, hd, cfg.rope_theta)
 
         if cache is not None:
             k, v, mask = cache.update(layer_idx, k, v, positions, mask)
 
-        # GQA: repeat kv heads
+        scale = hd ** -0.5
         rep = H // k.shape[2]
         if rep > 1:
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
-
-        scale = hd ** -0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        probs = probs.astype(v.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, H * hd)
+            # GQA via grouped einsum — never materialize repeated K/V
+            # (decode is KV-bandwidth-bound; a jnp.repeat would move
+            # rep x the cache bytes per step)
+            G = k.shape[2]
+            qg = q.reshape(B, S, G, rep, hd)
+            logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k) * scale
+            logits = jnp.where(mask[:, :, None], logits,
+                               jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = probs.astype(v.dtype)
+            out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v)
+            out = out.reshape(B, S, H * hd)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = probs.astype(v.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v
+                             ).reshape(B, S, H * hd)
         return mk(cfg.hidden_size, "o_proj")(out)
 
 
@@ -202,8 +223,13 @@ class MLP(fnn.Module):
         cfg = self.cfg
         mk = lambda feat, name: QLinear(feat, self.mx_specs, False,
                                         cfg.dtype, self.use_pallas, name=name)
-        gate = mk(cfg.intermediate_size, "gate_proj")(x)
-        up = mk(cfg.intermediate_size, "up_proj")(x)
+        I = cfg.intermediate_size
+        if cfg.fused_projections:
+            gu = mk(2 * I, "gate_up_proj")(x)
+            gate, up = gu[..., :I], gu[..., I:]
+        else:
+            gate = mk(I, "gate_proj")(x)
+            up = mk(I, "up_proj")(x)
         return mk(cfg.hidden_size, "down_proj")(jax.nn.silu(gate) * up)
 
 

@@ -13,7 +13,8 @@ from .linear import (  # noqa: F401
     MXLinear, QuantizedLinear, bmm, linear, matmul, mx_linear,
 )
 from .mapping import (  # noqa: F401
-    find_linear_params, mx_op_table, pack_params, quantize_params,
+    find_linear_params, fuse_projections, mx_op_table, pack_params,
+    quantize_params,
 )
 from .norms import BatchNorm, GroupNorm, LayerNorm, RMSNorm  # noqa: F401
 from .rnn import LSTM, LSTMCell  # noqa: F401

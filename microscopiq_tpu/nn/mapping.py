@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.outlier import quantize_mx_outlier_op
-from ..ops.packing import pack_mx, pack_mx_outlier
+from ..ops.packing import PackedMX, pack_mx, pack_mx_outlier
 from ..specs import MxSpecs
 
 
@@ -99,12 +99,67 @@ def pack_params(params, mx_specs: MxSpecs,
                     std_dev=mx_specs["outlier_std_dev"],
                     block_size=mx_specs["block_size"],
                     outlier_budget=outlier_budget, axis=0)
-            return pack_mx(leaf, mx_specs["scale_bits"] or 8,
-                           mx_specs["w_elem_format"],
-                           mx_specs["block_size"], axis=0)
+            fmt = mx_specs["w_elem_format"]
+            transport = ("emi8" if fmt in ("fp4", "fp4_e2m1", "fp6_e3m2",
+                                           "fp6_e2m3") else "native")
+            return pack_mx(leaf, mx_specs["scale_bits"] or 8, fmt,
+                           mx_specs["block_size"], axis=0,
+                           transport=transport)
         return leaf
 
     return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def _concat_kernels(kernels):
+    """Concatenate linear kernels along the output axis. Supports dense
+    (in, out) arrays and PackedMX(axis=0) leaves (codes and scale_exp
+    concat along N — block layout along K is unchanged)."""
+    first = kernels[0]
+    if isinstance(first, PackedMX):
+        for k in kernels[1:]:
+            assert (k.elem_format == first.elem_format
+                    and k.block_size == first.block_size
+                    and k.transport == first.transport
+                    and k.axis == first.axis == 0)
+        import dataclasses as _dc
+
+        return _dc.replace(
+            first,
+            codes=jnp.concatenate([k.codes for k in kernels], axis=1),
+            scale_exp=jnp.concatenate([k.scale_exp for k in kernels],
+                                      axis=1))
+    return jnp.concatenate(kernels, axis=1)
+
+
+def fuse_projections(params):
+    """Serving-layout transform: merge q/k/v → qkv_proj and gate/up →
+    gate_up_proj in every decoder layer (one wide fused dequant-GEMM per
+    group instead of 2-3 calls — bigger DMAs, fewer kernel launches).
+    Use with ``LlamaConfig(fused_projections=True)``. Offline transform:
+    run it once at load time, never inside jit (the concats copy)."""
+    out = dict(params)
+    if "model" in out:
+        tree = dict(out["model"])
+        out["model"] = tree
+    else:
+        tree = out
+    for name in list(tree.keys()):
+        if not name.startswith("layers_"):
+            continue
+        layer = dict(tree[name])
+        attn = dict(layer.get("self_attn", {}))
+        if {"q_proj", "k_proj", "v_proj"} <= set(attn):
+            attn["qkv_proj"] = {"kernel": _concat_kernels(
+                [attn.pop(p)["kernel"]
+                 for p in ("q_proj", "k_proj", "v_proj")])}
+            layer["self_attn"] = attn
+        mlp = dict(layer.get("mlp", {}))
+        if {"gate_proj", "up_proj"} <= set(mlp):
+            mlp["gate_up_proj"] = {"kernel": _concat_kernels(
+                [mlp.pop(p)["kernel"] for p in ("gate_proj", "up_proj")])}
+            layer["mlp"] = mlp
+        tree[name] = layer
+    return out
 
 
 def mx_op_table(mx_specs: MxSpecs) -> Dict[str, Callable]:

@@ -74,6 +74,63 @@ def _is_int_format(fmt) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# emi8 GEMM transport: fp4/fp6 code -> one int8 byte = (e' << mw) | m̂
+# ---------------------------------------------------------------------------
+def emi8_params(fmt) -> Tuple[int, int, int]:
+    """(mw, mm, emin) for the emi8 byte layout of a sub-byte fp format.
+
+    Every fp4/fp6 value is exactly ``m̂ · 2^(e' + emin - mm)`` with integer
+    mantissa ``m̂`` (two's-complement in the low ``mw = mbits`` bits,
+    |m̂| ≤ 2^(mbits-1)-1) and biased exponent ``e' = max(e, emin) - emin``
+    in the high bits. Normals have |m̂| ≥ 2^mm, subnormals e' = 0 and
+    |m̂| < 2^mm — one shared formula, no special cases. The Pallas GEMV
+    decodes this with 4 integer VPU ops (sign-extend, shift-extract,
+    variable left-shift, convert), avoiding Mosaic's slow float8 convert
+    path entirely; the remaining 2^(emin - mm) factor folds into the
+    per-block scale (the TPU analog of the two-level scale merge,
+    rtl/MicroScopiQ/scale_compute.v:55-57).
+    """
+    if isinstance(fmt, str):
+        fmt = ElemFormat.from_str(fmt)
+    if fmt not in (ElemFormat.fp4, ElemFormat.fp6_e3m2,
+                   ElemFormat.fp6_e2m3):
+        raise ValueError(f"emi8 transport only supports fp4/fp6, got {fmt}")
+    ebits, mbits, emax, _, _ = get_format_params(fmt)
+    emin = 2 - (2 ** (ebits - 1))
+    mw = mbits                      # signed integer-mantissa field
+    assert (emax - emin) < (1 << (8 - mw)), "fields must fit one byte"
+    return mw, mbits - 2, emin
+
+
+def _emi8_encode(q: jax.Array, fmt) -> jax.Array:
+    """Exact fp values q (already fake-quantized to fmt) -> emi8 bytes."""
+    mw, mm, emin = emi8_params(fmt)
+    aq = jnp.abs(q)
+    e = jnp.clip(floor_log2(jnp.maximum(aq, 2.0 ** (emin - mm))),
+                 emin, None).astype(jnp.int32)
+    mhat = jnp.round(q * exp2_exact((mm - e).astype(jnp.float32))
+                     ).astype(jnp.int32)
+    eprime = e - emin
+    return ((eprime << mw) | (mhat & ((1 << mw) - 1))).astype(jnp.int8)
+
+
+def _emi8_decode_f32(codes: jax.Array, fmt) -> jax.Array:
+    """emi8 bytes -> q · 2^(mm - emin); the caller applies the
+    2^(emin - mm) fold (usually merged into the block scale)."""
+    mw, mm, emin = emi8_params(fmt)
+    c = codes.astype(jnp.int32)
+    mhat = (c << (32 - mw)) >> (32 - mw)      # sign-extend low mw bits
+    eprime = c >> mw                          # high bits (byte is >= 0)
+    return (mhat << eprime).astype(jnp.float32)
+
+
+def emi8_fold(fmt) -> int:
+    """Scale fold for emi8 codes: value = decoded · 2^(-fold)."""
+    mw, mm, emin = emi8_params(fmt)
+    return mm - emin
+
+
+# ---------------------------------------------------------------------------
 # Packed containers (pytrees; config fields are static)
 # ---------------------------------------------------------------------------
 @flax.struct.dataclass
@@ -99,6 +156,10 @@ class PackedMX:
     scale_bits: int = flax.struct.field(pytree_node=False)
     orig_dim: int = flax.struct.field(pytree_node=False)
     axis: int = flax.struct.field(pytree_node=False, default=-1)
+    # "native": container dtype per _CONTAINERS (f8 for sub-byte fp).
+    # "emi8":   fp4/fp6 codes as (e'|m̂) int8 bytes — the GEMM transport
+    #           (integer decode in-kernel; see emi8_params).
+    transport: str = flax.struct.field(pytree_node=False, default="native")
 
     @property
     def bits_per_element(self) -> float:
@@ -159,7 +220,7 @@ def _code_decode(codes: jax.Array, fmt) -> jax.Array:
 
 def pack_mx(A: jax.Array, scale_bits: int, elem_format, block_size: int,
             round: str = "nearest", exact_scale: bool = False,
-            axis: int = -1) -> PackedMX:
+            axis: int = -1, transport: str = "native") -> PackedMX:
     """Quantize A (blocking the last axis) into packed storage.
 
     With ``exact_scale=False`` (default) uses the same math as
@@ -192,7 +253,13 @@ def pack_mx(A: jax.Array, scale_bits: int, elem_format, block_size: int,
         scaled = blocked / (exp2_exact(se) + 1e-6)
     q = quantize_elemwise_core(scaled, mbits, ebits, max_norm, round=round,
                                allow_denorm=True, saturate_normals=True)
-    codes = _code_cast(q, fmt).reshape(blocked.shape[:-2] + (-1,))
+    if transport == "emi8":
+        codes = _emi8_encode(q, fmt)
+    elif transport == "native":
+        codes = _code_cast(q, fmt)
+    else:
+        raise ValueError(f"unknown transport {transport!r}")
+    codes = codes.reshape(blocked.shape[:-2] + (-1,))
     se = se[..., 0].astype(jnp.int8)
     if axis_n != A.ndim - 1:
         codes = jnp.moveaxis(codes, -1, axis_n)
@@ -200,7 +267,8 @@ def pack_mx(A: jax.Array, scale_bits: int, elem_format, block_size: int,
     return PackedMX(
         codes=codes, scale_exp=se,
         elem_format=fmt_name, block_size=block_size,
-        scale_bits=scale_bits, orig_dim=orig_dim, axis=axis_n)
+        scale_bits=scale_bits, orig_dim=orig_dim, axis=axis_n,
+        transport=transport)
 
 
 def dequantize_mx(p: PackedMX, dtype=jnp.float32) -> jax.Array:
@@ -212,7 +280,11 @@ def dequantize_mx(p: PackedMX, dtype=jnp.float32) -> jax.Array:
         codes = jnp.moveaxis(codes, axis_n, -1)
         se = jnp.moveaxis(se, axis_n, -1)
     nb = codes.shape[-1] // p.block_size
-    vals = _code_decode(codes, p.elem_format)
+    if p.transport == "emi8":
+        vals = _emi8_decode_f32(codes, p.elem_format)
+        se = se.astype(jnp.int32) - emi8_fold(p.elem_format)
+    else:
+        vals = _code_decode(codes, p.elem_format)
     vals = vals.reshape(vals.shape[:-1] + (nb, p.block_size))
     vals = mul_pow2(vals, se[..., None].astype(jnp.float32))
     vals = vals.reshape(vals.shape[:-2] + (-1,))

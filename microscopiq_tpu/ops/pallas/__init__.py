@@ -6,5 +6,6 @@ from .dequant_matmul import (  # noqa: F401
     dequant_matmul_outlier,
     dequant_matmul_outlier_reference,
     dequant_matmul_reference,
+    dequant_matmul_sad,
 )
 from .mx_quant import quantize_mx_pallas  # noqa: F401

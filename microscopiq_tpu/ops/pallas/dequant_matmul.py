@@ -27,6 +27,7 @@ for differential testing, mirroring the reference's CPU-vs-CUDA strategy
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -127,6 +128,116 @@ def _dq_matmul_outlier_kernel(refs, *, nk: int, block_size: int, fold: int,
 
 
 # ---------------------------------------------------------------------------
+# Scale-after-dot GEMV kernel (the decode serving path)
+#
+# Measured on v5e: the dequant-then-dot kernel is VPU-bound (one convert +
+# one scale multiply per weight element caps it at ~260 GB/s of codes),
+# and Mosaic's float8->bf16 convert is ~4x slower still. This kernel
+# instead feeds raw codes to batched MXU dots — one (TM, B) x (B, TN) dot
+# per block — and applies the per-block power-of-two scale to the (TM, TN)
+# partial products, which is O(K*N/B) work instead of O(K*N). With int8
+# codes it runs DMA-bound at the chip's streaming rate (~380 GB/s
+# measured), beating the dense bf16 GEMV that must move 2x the bytes.
+# fp4/fp6 use the emi8 transport (packing.emi8_params): decode is 4
+# integer VPU ops, never touching the float8 path.
+# ---------------------------------------------------------------------------
+def _sad_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
+                fold: int, decode: str, mw: int, out_dtype):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if decode == "emi8":
+        c = c_ref[:].astype(jnp.int32)
+        mhat = lax.shift_right_arithmetic(lax.shift_left(c, 32 - mw),
+                                          32 - mw)
+        w = lax.shift_left(mhat, c >> mw).astype(jnp.bfloat16)
+    else:  # int8 / bf16 / fp16 containers: native convert
+        w = c_ref[:].astype(jnp.bfloat16)
+    part = lax.dot_general(
+        x_ref[:], w, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (nbt, TM, TN)
+    sc = _exp2_i32(s_ref[:].astype(jnp.int32) - fold)  # (nbt, 1, TN)
+    acc_ref[:] += jnp.sum(part * sc, axis=0)
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref = o_ref
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _sad_fold(w: PackedMX) -> Tuple[str, int, int]:
+    """(decode_mode, fold, mw) for the scale-after-dot kernel."""
+    if w.transport == "emi8":
+        mw, _, _ = pk.emi8_params(w.elem_format)
+        return "emi8", pk.emi8_fold(w.elem_format), mw
+    return "native", _scale_fold(w.elem_format), 0
+
+
+def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
+                       interpret: bool = False) -> jax.Array:
+    """y = x @ dequant(w), scale-after-dot form. Decode path for small M
+    (token counts); numerically equal to the reference twin up to f32
+    summation order."""
+    assert w.axis == 0, "fused GEMM expects transposed (K, N) weights"
+    B = w.block_size
+    decode, fold, mw = _sad_fold(w)
+    lead = x.shape[:-1]
+    Kp, N = w.codes.shape
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
+    M = x2.shape[0]
+
+    TM = _round_up(max(M, 1), 16)        # bf16 native sublane tile
+    TN = 1024 if N >= 1024 else _round_up(N, 128)
+    TK = max(4 * B, 1024)
+    while TK > Kp and TK > B:
+        TK //= 2
+    TK = max(TK, B)
+    while TK // B * TM * TN * 4 > 8 * 1024 * 1024:   # cap the partials
+        TK //= 2
+    Mp, Np, Kp2 = _round_up(M, TM), _round_up(N, TN), _round_up(Kp, TK)
+    nbt, NBp = TK // B, Kp2 // B
+
+    x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp2 - x2.shape[-1])))
+    xb = x2.reshape(Mp, NBp, B).transpose(1, 0, 2)   # (NBp, Mp, B)
+    codes = jnp.pad(w.codes, ((0, Kp2 - Kp), (0, Np - N)))
+    cb = codes.reshape(NBp, B, Np)
+    se = jnp.pad(w.scale_exp, ((0, (Kp2 - Kp) // B), (0, Np - N)))
+    sb = se.reshape(NBp, 1, Np)
+
+    nk = Kp2 // TK
+    grid = (Mp // TM, Np // TN, nk)
+
+    out = pl.pallas_call(
+        functools.partial(_sad_kernel, nk=nk, fold=fold, decode=decode,
+                          mw=mw, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nbt, TM, B), lambda i, j, k: (k, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbt, B, TN), lambda i, j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbt, 1, TN), lambda i, j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp2,
+            bytes_accessed=Mp * Kp2 * 2 + Np * Kp2 + Mp * Np * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(xb, cb, sb)
+    return out[:M, :N].reshape(lead + (N,))
+
+
+# ---------------------------------------------------------------------------
 # Host wrappers
 # ---------------------------------------------------------------------------
 def _tiles(M: int, block_size: int):
@@ -142,7 +253,20 @@ def dequant_matmul(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
     """y = x @ dequant(w) with dequant fused into the GEMM.
 
     x: (..., K); w: PackedMX of a (K, N) matrix with axis=0 blocking.
+    Dispatches to the scale-after-dot kernel (DMA-bound) for small token
+    counts; f8-container codes fall back to the dequant-then-dot kernel.
     """
+    M = 1
+    for d in x.shape[:-1]:
+        M *= d
+    if M <= 64 and (w.transport == "emi8"
+                    or w.codes.dtype in (jnp.int8, jnp.bfloat16,
+                                         jnp.float16)):
+        return dequant_matmul_sad(x, w, out_dtype=out_dtype,
+                                  interpret=interpret)
+    if w.transport != "native":
+        # compute-bound regime: XLA dequant-then-dot fuses fine
+        return dequant_matmul_reference(x, w, out_dtype=out_dtype)
     assert w.axis == 0, "fused GEMM expects transposed (K, N) weights"
     B = w.block_size
     fold = _scale_fold(w.elem_format)
