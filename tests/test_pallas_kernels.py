@@ -116,3 +116,79 @@ def test_quantize_kernel_ragged():
     assert got.codes.shape == want.codes.shape
     assert_bitexact(np.asarray(dequantize_mx(got)),
                     np.asarray(dequantize_mx(want)), "ragged")
+
+
+# ---------------------------------------------------------------------------
+# Scale-after-dot GEMV kernel + emi8 transport
+# ---------------------------------------------------------------------------
+from microscopiq_tpu.ops.pallas import dequant_matmul_sad  # noqa: E402
+
+
+@pytest.mark.parametrize("fmt,transport", [
+    ("int8", "native"), ("int4", "native"), ("int2", "native"),
+    ("fp6_e3m2", "emi8"), ("fp6_e2m3", "emi8"), ("fp4_e2m1", "emi8"),
+])
+def test_sad_matches_reference(fmt, transport):
+    W = _weights_kn(256, 384)
+    x = RNG.standard_normal((8, 256)).astype(np.float32)
+    p = pack_mx(jnp.asarray(W), 8, fmt, 32, axis=0, transport=transport)
+    y0 = np.asarray(dequant_matmul_reference(jnp.asarray(x), p))
+    y1 = np.asarray(dequant_matmul_sad(jnp.asarray(x), p, interpret=True))
+    rel = np.abs(y1 - y0).max() / (np.abs(y0).max() + 1e-9)
+    assert rel < 1e-5, rel
+
+
+def test_sad_ragged_shapes():
+    W = _weights_kn(200, 130)
+    x = RNG.standard_normal((3, 200)).astype(np.float32)
+    p = pack_mx(jnp.asarray(W), 8, "fp6_e3m2", 32, axis=0,
+                transport="emi8")
+    y0 = np.asarray(dequant_matmul_reference(jnp.asarray(x), p))
+    y1 = np.asarray(dequant_matmul_sad(jnp.asarray(x), p, interpret=True))
+    assert y1.shape == (3, 130)
+    rel = np.abs(y1 - y0).max() / (np.abs(y0).max() + 1e-9)
+    assert rel < 1e-5, rel
+
+
+@pytest.mark.parametrize("fmt", ["fp6_e3m2", "fp6_e2m3", "fp4_e2m1"])
+def test_emi8_transport_bitexact(fmt):
+    """emi8 GEMM bytes decode to exactly the same values as the f8-native
+    container (packing.emi8_params invariant)."""
+    W = _weights_kn(64, 96)
+    W[0, :4] = [0.0, -0.0, 1e-9, 27.5]
+    a = np.asarray(dequantize_mx(pack_mx(jnp.asarray(W), 8, fmt, 16,
+                                         axis=0)))
+    b = np.asarray(dequantize_mx(pack_mx(jnp.asarray(W), 8, fmt, 16,
+                                         axis=0, transport="emi8")))
+    assert_bitexact(b, a, f"emi8 vs native ({fmt})")
+
+
+def test_fuse_projections_equivalence():
+    """qkv/gate-up fusion is a pure layout change: bit-identical logits
+    for dense and packed params (nn/mapping.py fuse_projections)."""
+    import dataclasses
+
+    import jax
+
+    from microscopiq_tpu.models import LlamaConfig, LlamaForCausalLM
+    from microscopiq_tpu.nn import fuse_projections, pack_params
+    from microscopiq_tpu.specs import finalize_mx_specs
+
+    cfg = LlamaConfig.tiny()
+    ids = jnp.asarray(RNG.integers(0, 256, (2, 12)))
+    m0 = LlamaForCausalLM(cfg, use_pallas=False)
+    p0 = m0.init(jax.random.PRNGKey(0), ids)
+    mF = LlamaForCausalLM(dataclasses.replace(cfg, fused_projections=True),
+                          use_pallas=False)
+    pF = {"params": fuse_projections(p0["params"])}
+    np.testing.assert_array_equal(np.asarray(m0.apply(p0, ids)),
+                                  np.asarray(mF.apply(pF, ids)))
+    # packed leaves fuse too (codes/scale concat along N)
+    specs = finalize_mx_specs({"w_elem_format": "fp6_e3m2",
+                               "scale_bits": 8, "block_size": 32})
+    pq = {"params": pack_params(p0["params"], specs)}
+    pqF = {"params": fuse_projections(pq["params"])}
+    np.testing.assert_array_equal(np.asarray(m0.apply(pq, ids)),
+                                  np.asarray(mF.apply(pqF, ids)))
+    # original tree untouched
+    assert "q_proj" in p0["params"]["model"]["layers_0"]["self_attn"]
