@@ -1,22 +1,24 @@
 #!/usr/bin/env python
-"""Single-chip benchmark: prefill throughput of a packed MX-FP6 Llama-3-8B
-architecture vs the dense bf16 baseline (same arch, same chip).
+"""Single-chip serving benchmark: decode throughput of a packed MX-FP6
+Llama-3-8B architecture vs the dense bf16 baseline (same arch, same chip).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "tokens/s", "vs_baseline": N}
 
-vs_baseline = packed tokens/s / dense-bf16 tokens/s (>1 means the fused
-dequant-GEMM path beats dense bf16).
+vs_baseline = packed decode tokens/s / dense bf16 decode tokens/s. Decode
+is HBM-bandwidth-bound on the weights, the regime quantized serving is
+for: the packed path streams 1 byte/weight (emi8 fp6 codes) through the
+scale-after-dot Pallas GEMV instead of 2 (bf16), with fused qkv/gate-up
+projections. Both paths share the identical attention/cache/lm_head code.
 
-Notes: models are built layer-by-layer on device with random weights (no
-network access); dense and packed runs happen sequentially so both fit in
-one v5e's 16 GB HBM. Timing forces a host transfer at the end because
-block_until_ready() does not synchronize through the axon relay.
+Methodology: decode steps run under lax.scan inside one jit (the tunnel
+adds ~30 ms per dispatch, and this chip's clock drifts ~1.5x over
+minutes, so dense and packed are measured interleaved and min-of-k is
+reported for each).
 """
 
 import gc
 import json
-import sys
 import time
 
 import numpy as np
@@ -73,61 +75,99 @@ def build_params(cfg, key, packed_specs=None):
                                                    (D, cfg.vocab_size))}}}
 
 
-def bench_forward(model, params, ids, iters=8):
+def make_decoder(model, cfg, B, S0, steps, max_len):
     import jax
-    f = jax.jit(lambda p, i: model.apply(p, i))
-    out = f(params, ids)
-    _ = np.asarray(out[0, 0, :3])  # sync (compile + warmup)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = f(params, ids)
-    _ = np.asarray(out[0, 0, :3])  # force completion through the relay
-    dt = (time.perf_counter() - t0) / iters
-    return dt
+    import jax.numpy as jnp
+    from jax import lax
+
+    from microscopiq_tpu.kv.cache import DenseDecodeCache, init_dense_cache
+
+    state0 = init_dense_cache(cfg.num_hidden_layers, B, max_len,
+                              cfg.num_key_value_heads, cfg.head_dim)
+
+    @jax.jit
+    def prefill(params, ids, state):
+        cache = DenseDecodeCache(state)
+        pos = jnp.broadcast_to(jnp.arange(S0)[None, :], (B, S0))
+        logits = model.apply(params, ids, positions=pos, cache=cache)
+        return (jnp.argmax(logits[:, -1], -1).astype(jnp.int32),
+                cache.finalize())
+
+    @jax.jit
+    def decode(params, tok0, state):
+        def step(carry, _):
+            tok, st = carry
+            cache = DenseDecodeCache(st)
+            pos = jnp.broadcast_to(st.length[None, None], (B, 1))
+            logits = model.apply(params, tok[:, None], positions=pos,
+                                 cache=cache)
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            return (nxt, cache.finalize()), nxt
+        (_, _), toks = lax.scan(step, (tok0, state), None, length=steps)
+        return toks
+
+    return prefill, decode, state0
 
 
 def main():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
+
     from microscopiq_tpu.models import LlamaConfig, LlamaForCausalLM
+    from microscopiq_tpu.nn import fuse_projections
     from microscopiq_tpu.specs import finalize_mx_specs
 
     on_tpu = jax.default_backend() == "tpu"
-    layers = 16 if on_tpu else 2   # half-depth so dense bf16 also fits HBM
+    layers = 12 if on_tpu else 2   # both param sets live at once (interleaved timing); 12L dense+packed+caches fit 16 GB HBM
     cfg = LlamaConfig.llama3_8b(num_hidden_layers=layers,
-                                dtype=jnp.bfloat16)
+                                dtype=jnp.bfloat16,
+                                fused_projections=True)
     if not on_tpu:
-        cfg = LlamaConfig.tiny(dtype=jnp.bfloat16)
+        cfg = LlamaConfig.tiny(dtype=jnp.bfloat16, fused_projections=True)
 
-    B, S = 4, 512
+    B, S0, STEPS = 8, 128, 32
+    max_len = S0 + STEPS + 8
     ids = jnp.asarray(np.random.default_rng(0).integers(
-        0, cfg.vocab_size, (B, S)))
-    tokens = B * S
-
+        0, cfg.vocab_size, (B, S0)))
     specs = finalize_mx_specs({"w_elem_format": "fp6_e3m2",
                                "scale_bits": 8, "block_size": 32})
 
-    # dense bf16 baseline
-    model_d = LlamaForCausalLM(cfg, use_pallas=on_tpu)
-    params_d = build_params(cfg, jax.random.PRNGKey(0))
-    dt_dense = bench_forward(model_d, params_d, ids)
-    del params_d
-    gc.collect()
+    runs = {}
+    for tag, packed in (("dense", None), ("packed", specs)):
+        model = LlamaForCausalLM(cfg, use_pallas=on_tpu)
+        params = build_params(cfg, jax.random.PRNGKey(0),
+                              packed_specs=packed)
+        params = {"params": fuse_projections(params["params"])}
+        prefill, decode, state0 = make_decoder(model, cfg, B, S0, STEPS,
+                                               max_len)
+        tok0, st = prefill(params, ids, state0)
+        toks = decode(params, tok0, st)
+        _ = np.asarray(toks)[:1]          # compile + warm
+        runs[tag] = (decode, params, tok0, st)
+        gc.collect()
 
-    # packed MX-FP6
-    model_q = LlamaForCausalLM(cfg, use_pallas=on_tpu)
-    params_q = build_params(cfg, jax.random.PRNGKey(0), packed_specs=specs)
-    dt_packed = bench_forward(model_q, params_q, ids)
+    best = {tag: 9e9 for tag in runs}
+    for _ in range(6):                    # interleave to cancel drift
+        for tag, (decode, params, tok0, st) in runs.items():
+            t0 = time.perf_counter()
+            toks = decode(params, tok0, st)
+            _ = np.asarray(toks)[:1]
+            best[tag] = min(best[tag], time.perf_counter() - t0)
 
-    tps_packed = tokens / dt_packed
-    tps_dense = tokens / dt_dense
+    tps = {tag: B * STEPS / t for tag, t in best.items()}
     print(json.dumps({
-        "metric": f"prefill tokens/s, Llama-3-8B arch ({layers}L) "
-                  f"MX-FP6 packed, B={B} S={S}, 1 chip",
-        "value": round(tps_packed, 1),
+        "metric": f"decode tokens/s, Llama-3-8B arch ({layers}L) MX-FP6 "
+                  f"emi8 packed + fused-GEMV, B={B}, 1 chip",
+        "value": round(tps["packed"], 1),
         "unit": "tokens/s",
-        "vs_baseline": round(tps_packed / tps_dense, 4),
-        "extra": {"dense_bf16_tokens_per_s": round(tps_dense, 1),
+        "vs_baseline": round(tps["packed"] / tps["dense"], 4),
+        "extra": {"dense_bf16_tokens_per_s": round(tps["dense"], 1),
+                  "ms_per_step_packed": round(best["packed"] / STEPS * 1e3,
+                                              2),
+                  "ms_per_step_dense": round(best["dense"] / STEPS * 1e3,
+                                             2),
                   "backend": jax.default_backend()},
     }))
 

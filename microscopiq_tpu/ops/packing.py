@@ -130,6 +130,36 @@ def emi8_fold(fmt) -> int:
     return mm - emin
 
 
+def to_serving_layout(p: "PackedMX") -> "PackedMX":
+    """Pre-block a (K, N) axis=0 PackedMX into the exact 3D operand forms
+    the scale-after-dot GEMV consumes: codes (K/B, B, N), scale_exp
+    (K/B, 1, N). Done once at load time — XLA otherwise materializes the
+    2D→3D retiling as a copy on EVERY kernel call (~80 µs per large
+    matmul on v5e)."""
+    if p.codes.ndim == 3:
+        return p
+    assert p.axis == 0 and p.codes.ndim == 2
+    K, N = p.codes.shape
+    nb = K // p.block_size
+    import dataclasses as _dc
+
+    return _dc.replace(
+        p,
+        codes=jnp.asarray(p.codes).reshape(nb, p.block_size, N),
+        scale_exp=jnp.asarray(p.scale_exp).reshape(nb, 1, N))
+
+
+def from_serving_layout(p: "PackedMX") -> "PackedMX":
+    """Inverse of :func:`to_serving_layout` (used by fallback paths)."""
+    if p.codes.ndim == 2:
+        return p
+    nb, B, N = p.codes.shape
+    import dataclasses as _dc
+
+    return _dc.replace(p, codes=p.codes.reshape(nb * B, N),
+                       scale_exp=p.scale_exp.reshape(nb, N))
+
+
 # ---------------------------------------------------------------------------
 # Packed containers (pytrees; config fields are static)
 # ---------------------------------------------------------------------------

@@ -142,30 +142,38 @@ def _dq_matmul_outlier_kernel(refs, *, nk: int, block_size: int, fold: int,
 # integer VPU ops, never touching the float8 path.
 # ---------------------------------------------------------------------------
 def _sad_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
-                fold: int, decode: str, mw: int, out_dtype):
+                fold: int, decode: str, mw: int, block_size: int,
+                out_dtype):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # codes arrive as the plain 2D (TK, TN) weight tile; the per-block
+    # view is a sublane regroup (free in Mosaic's (8,128) tiling since
+    # block_size % 8 == 0). Doing the split here rather than reshaping
+    # the whole codes array on the host avoids an XLA retiling copy of
+    # the full weight matrix on every call (~80 µs per large matmul).
+    c2 = c_ref[:]
+    tk, tn = c2.shape
+    c3 = c2.reshape(tk // block_size, block_size, tn)
     if decode == "emi8":
-        c = c_ref[:].astype(jnp.int32)
+        c = c3.astype(jnp.int32)
         mhat = lax.shift_right_arithmetic(lax.shift_left(c, 32 - mw),
                                           32 - mw)
         w = lax.shift_left(mhat, c >> mw).astype(jnp.bfloat16)
     else:  # int8 / bf16 / fp16 containers: native convert
-        w = c_ref[:].astype(jnp.bfloat16)
+        w = c3.astype(jnp.bfloat16)
     part = lax.dot_general(
         x_ref[:], w, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)          # (nbt, TM, TN)
-    sc = _exp2_i32(s_ref[:].astype(jnp.int32) - fold)  # (nbt, 1, TN)
-    acc_ref[:] += jnp.sum(part * sc, axis=0)
+    sc = _exp2_i32(s_ref[:].astype(jnp.int32) - fold)  # (nbt, TN)
+    acc_ref[:] += jnp.sum(part * sc[:, None, :], axis=0)
 
     @pl.when(k == nk - 1)
     def _():
-        out_ref = o_ref
-        out_ref[:] = acc_ref[:].astype(out_dtype)
+        o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
 def _sad_fold(w: PackedMX) -> Tuple[str, int, int]:
@@ -185,7 +193,8 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
     B = w.block_size
     decode, fold, mw = _sad_fold(w)
     lead = x.shape[:-1]
-    Kp, N = w.codes.shape
+    ww = pk.from_serving_layout(w)
+    Kp, N = ww.codes.shape
     x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
     M = x2.shape[0]
 
@@ -201,25 +210,23 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
     nbt, NBp = TK // B, Kp2 // B
 
     x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp2 - x2.shape[-1])))
-    xb = x2.reshape(Mp, NBp, B).transpose(1, 0, 2)   # (NBp, Mp, B)
-    codes = jnp.pad(w.codes, ((0, Kp2 - Kp), (0, Np - N)))
-    cb = codes.reshape(NBp, B, Np)
-    se = jnp.pad(w.scale_exp, ((0, (Kp2 - Kp) // B), (0, Np - N)))
-    sb = se.reshape(NBp, 1, Np)
+    xb = x2.reshape(Mp, NBp, B).transpose(1, 0, 2)   # (NBp, Mp, B), tiny
+    codes = jnp.pad(ww.codes, ((0, Kp2 - Kp), (0, Np - N)))
+    se = jnp.pad(ww.scale_exp, ((0, (Kp2 - Kp) // B), (0, Np - N)))
 
     nk = Kp2 // TK
     grid = (Mp // TM, Np // TN, nk)
 
     out = pl.pallas_call(
         functools.partial(_sad_kernel, nk=nk, fold=fold, decode=decode,
-                          mw=mw, out_dtype=out_dtype),
+                          mw=mw, block_size=B, out_dtype=out_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((nbt, TM, B), lambda i, j, k: (k, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nbt, B, TN), lambda i, j, k: (k, 0, j),
+            pl.BlockSpec((TK, TN), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nbt, 1, TN), lambda i, j, k: (k, 0, j),
+            pl.BlockSpec((TK // B, TN), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
@@ -233,7 +240,7 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
             bytes_accessed=Mp * Kp2 * 2 + Np * Kp2 + Mp * Np * 4,
             transcendentals=0),
         interpret=interpret,
-    )(xb, cb, sb)
+    )(xb, codes, se)
     return out[:M, :N].reshape(lead + (N,))
 
 
@@ -264,9 +271,10 @@ def dequant_matmul(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
                                          jnp.float16)):
         return dequant_matmul_sad(x, w, out_dtype=out_dtype,
                                   interpret=interpret)
-    if w.transport != "native":
+    if w.transport != "native" or w.codes.ndim == 3:
         # compute-bound regime: XLA dequant-then-dot fuses fine
-        return dequant_matmul_reference(x, w, out_dtype=out_dtype)
+        return dequant_matmul_reference(
+            x, pk.from_serving_layout(w), out_dtype=out_dtype)
     assert w.axis == 0, "fused GEMM expects transposed (K, N) weights"
     B = w.block_size
     fold = _scale_fold(w.elem_format)
