@@ -56,7 +56,8 @@ def make_mesh(n_devices: Optional[int] = None,
 # path-regex -> (dense kernel spec, packed codes spec)
 # kernels are flax (in, out); packed codes are (K=in, N=out)
 _RULES: Tuple[Tuple[str, P], ...] = (
-    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj|fc1|gate)/kernel$",
+    (r".*(q_proj|k_proj|v_proj|qkv_proj|gate_proj|up_proj|gate_up_proj"
+     r"|fc1|gate)/kernel$",
      P(None, "model")),
     (r".*(o_proj|out_proj|down_proj|fc2)/kernel$", P("model", None)),
     (r".*(embed_tokens|embed_positions)$", P(None, None)),
@@ -125,7 +126,7 @@ def _packed_sharding(leaf, kernel_spec: P, mesh: Mesh):
             codes=ns(k_ax, n_ax), scale_exp=ns(k_ax, n_ax),
             elem_format=leaf.elem_format, block_size=leaf.block_size,
             scale_bits=leaf.scale_bits, orig_dim=leaf.orig_dim,
-            axis=leaf.axis)
+            axis=leaf.axis, transport=leaf.transport)
     return PackedMXOutlier(
         inlier=PackedMX(
             codes=ns(k_ax, n_ax), scale_exp=ns(k_ax, n_ax),

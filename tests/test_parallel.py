@@ -1,0 +1,108 @@
+"""Distribution tests on the 8-device virtual CPU mesh: mesh building,
+sharding rules for dense + packed trees, sharded forward/decode parity
+with single-device execution (the multi-host analog of the reference's
+CPU-vs-CUDA differential testing; reference itself has no distributed
+runtime, SURVEY.md §2.11)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from microscopiq_tpu.models import LlamaConfig, LlamaForCausalLM
+from microscopiq_tpu.nn import fuse_projections, pack_params
+from microscopiq_tpu.parallel import make_mesh, param_shardings, shard_params
+from microscopiq_tpu.specs import finalize_mx_specs
+
+RNG = np.random.default_rng(3)
+
+
+def _tiny():
+    cfg = LlamaConfig.tiny(hidden_size=64, intermediate_size=128,
+                           num_attention_heads=4, num_key_value_heads=4)
+    ids = jnp.asarray(RNG.integers(0, 256, (4, 16)))
+    model = LlamaForCausalLM(cfg, use_pallas=False)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    return cfg, model, params, ids
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 1, "model": 8}
+    mesh = make_mesh(8, data=2)
+    assert mesh.shape == {"data": 2, "model": 4}
+    mesh = make_mesh(4, data=2, model=2)
+    assert mesh.shape == {"data": 2, "model": 2}
+
+
+def test_sharding_rules_dense():
+    cfg, model, params, ids = _tiny()
+    mesh = make_mesh(8, data=2, model=4)
+    sh = param_shardings(params["params"], mesh)
+    l0 = sh["model"]["layers_0"]
+    assert l0["self_attn"]["q_proj"]["kernel"].spec == P(None, "model")
+    assert l0["self_attn"]["o_proj"]["kernel"].spec == P("model", None)
+    assert l0["mlp"]["down_proj"]["kernel"].spec == P("model", None)
+    assert sh["lm_head"]["kernel"].spec == P(None, "model")
+
+
+def test_sharded_forward_matches_single_device():
+    cfg, model, params, ids = _tiny()
+    y0 = np.asarray(model.apply(params, ids))
+    mesh = make_mesh(8, data=2, model=4)
+    p_sh = {"params": shard_params(params["params"], mesh)}
+    ids_sh = jax.device_put(
+        ids, NamedSharding(mesh, P("data", None)))
+    y1 = np.asarray(jax.jit(model.apply)(p_sh, ids_sh))
+    np.testing.assert_allclose(y0, y1, atol=2e-4, rtol=2e-4)
+
+
+def test_sharded_packed_forward_matches():
+    cfg, model, params, ids = _tiny()
+    specs = finalize_mx_specs({"w_elem_format": "fp6_e3m2",
+                               "scale_bits": 8, "block_size": 16})
+    pq = {"params": pack_params(params["params"], specs)}
+    y0 = np.asarray(model.apply(pq, ids))
+    mesh = make_mesh(4, data=1, model=4)
+    p_sh = {"params": shard_params(pq["params"], mesh)}
+    y1 = np.asarray(jax.jit(model.apply)(p_sh, ids))
+    np.testing.assert_allclose(y0, y1, atol=2e-4, rtol=2e-4)
+
+
+def test_sharded_fused_projections_forward():
+    cfg, model, params, ids = _tiny()
+    cfgF = dataclasses.replace(cfg, fused_projections=True)
+    modelF = LlamaForCausalLM(cfgF, use_pallas=False)
+    pF = {"params": fuse_projections(params["params"])}
+    y0 = np.asarray(model.apply(params, ids))
+    mesh = make_mesh(8, data=2, model=4)
+    sh = param_shardings(pF["params"], mesh)
+    assert (sh["model"]["layers_0"]["self_attn"]["qkv_proj"]["kernel"]
+            .spec == P(None, "model"))
+    p_sh = {"params": shard_params(pF["params"], mesh)}
+    y1 = np.asarray(jax.jit(modelF.apply)(p_sh, ids))
+    np.testing.assert_allclose(y0, y1, atol=2e-4, rtol=2e-4)
+
+
+def test_sharded_decode_step():
+    """One prefill + two decode steps under a (1, 8) TP mesh match the
+    unsharded run (cache state replicated; weights TP-sharded)."""
+    from microscopiq_tpu.eval.generate import generate
+
+    cfg, model, params, ids = _tiny()
+    out0 = generate(model, params, np.asarray(ids), max_new_tokens=3)
+    mesh = make_mesh(8, data=1, model=8)
+    p_sh = {"params": shard_params(params["params"], mesh)}
+    out1 = generate(model, p_sh, np.asarray(ids), max_new_tokens=3)
+    np.testing.assert_array_equal(out0, out1)
+
+
+def test_nondividing_axes_fall_back_to_replicated():
+    mesh = make_mesh(8, data=1, model=8)
+    # feature dim 12 doesn't divide by 8 -> replicated, no crash
+    tree = {"mlp": {"gate_proj": {"kernel": jnp.ones((16, 12))}}}
+    sh = param_shardings(tree, mesh)
+    assert sh["mlp"]["gate_proj"]["kernel"].spec == P(None, None)
