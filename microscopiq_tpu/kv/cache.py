@@ -84,13 +84,14 @@ class DenseDecodeCache:
 # ---------------------------------------------------------------------------
 @flax.struct.dataclass
 class QuantKVState:
-    # chunked stores: (L, B, C, gap, KVH, hd) uint8 codes
+    # chunked stores, head-major so the fused attention kernel streams
+    # each (gap, hd) chunk contiguously: (L, B, KVH, C, gap, hd) uint8
     kq: jax.Array
     vq: jax.Array
-    # K: per-channel scales within each chunk (L, B, C, 1, KVH, hd)
+    # K: per-channel scales within each chunk (L, B, KVH, C, hd)
     k_mn: jax.Array
     k_sc: jax.Array
-    # V: per-token feature-group scales (L, B, C, gap, G_count)
+    # V: per-token feature-group scales (L, B, KVH, C, gap, hd//v_group)
     v_mn: jax.Array
     v_sc: jax.Array
     # residual recent-token window (L, B, gap, KVH, hd)
@@ -111,17 +112,18 @@ def init_quant_cache(n_layers, batch, max_len, kv_heads, head_dim,
                      cfg: QuantKVConfig = QuantKVConfig()) -> QuantKVState:
     assert max_len % cfg.gap == 0
     C = max_len // cfg.gap
-    feat = kv_heads * head_dim
-    assert feat % cfg.v_group == 0
-    G = feat // cfg.v_group
+    vg = min(cfg.v_group, head_dim)
+    assert head_dim % vg == 0, "v_group must divide head_dim"
+    G = head_dim // vg
     z = jnp.zeros
+    shp = (n_layers, batch, kv_heads, C, cfg.gap, head_dim)
     return QuantKVState(
-        kq=z((n_layers, batch, C, cfg.gap, kv_heads, head_dim), jnp.uint8),
-        vq=z((n_layers, batch, C, cfg.gap, kv_heads, head_dim), jnp.uint8),
-        k_mn=z((n_layers, batch, C, 1, kv_heads, head_dim), jnp.float32),
-        k_sc=z((n_layers, batch, C, 1, kv_heads, head_dim), jnp.float32),
-        v_mn=z((n_layers, batch, C, cfg.gap, G), jnp.float32),
-        v_sc=z((n_layers, batch, C, cfg.gap, G), jnp.float32),
+        kq=z(shp, jnp.uint8),
+        vq=z(shp, jnp.uint8),
+        k_mn=z((n_layers, batch, kv_heads, C, head_dim), jnp.float32),
+        k_sc=z((n_layers, batch, kv_heads, C, head_dim), jnp.float32),
+        v_mn=z((n_layers, batch, kv_heads, C, cfg.gap, G), jnp.float32),
+        v_sc=z((n_layers, batch, kv_heads, C, cfg.gap, G), jnp.float32),
         res_k=z((n_layers, batch, cfg.gap, kv_heads, head_dim),
                 cfg.residual_dtype),
         res_v=z((n_layers, batch, cfg.gap, kv_heads, head_dim),
@@ -131,23 +133,25 @@ def init_quant_cache(n_layers, batch, max_len, kv_heads, head_dim,
 
 
 def _quant_chunk_k(chunk: jax.Array, bits: int):
-    """K chunk (B, nch, gap, KVH, hd): per-channel min/max over the token
+    """K chunk (B, KVH, nch, gap, hd): per-channel min/max over the token
     axis inside the chunk (KIVI channel grouping)."""
     x = chunk.astype(jnp.float32)
-    mn = x.min(axis=2, keepdims=True)
-    mx = x.max(axis=2, keepdims=True)
+    mn = x.min(axis=3)
+    mx = x.max(axis=3)
     sc = (mx - mn) / (2 ** bits - 1)
     sc = jnp.where(sc == 0, 1.0, sc)
-    codes = jnp.clip(jnp.round((x - mn) / sc), 0, 2 ** bits - 1
-                     ).astype(jnp.uint8)
+    codes = jnp.clip(jnp.round((x - mn[..., None, :]) / sc[..., None, :]),
+                     0, 2 ** bits - 1).astype(jnp.uint8)
     return codes, mn, sc
 
 
 def _quant_chunk_v(chunk: jax.Array, bits: int, v_group: int):
-    """V chunk (B, nch, gap, KVH, hd): per-token feature groups."""
-    B, nch, gap, KVH, hd = chunk.shape
-    G = (KVH * hd) // v_group
-    x = chunk.astype(jnp.float32).reshape(B, nch, gap, G, v_group)
+    """V chunk (B, KVH, nch, gap, hd): per-token feature groups (groups
+    never straddle heads; v_group clamped to hd)."""
+    B, KVH, nch, gap, hd = chunk.shape
+    vg = min(v_group, hd)
+    G = hd // vg
+    x = chunk.astype(jnp.float32).reshape(B, KVH, nch, gap, G, vg)
     mn = x.min(-1, keepdims=True)
     mx = x.max(-1, keepdims=True)
     sc = (mx - mn) / (2 ** bits - 1)
@@ -158,13 +162,16 @@ def _quant_chunk_v(chunk: jax.Array, bits: int, v_group: int):
 
 
 def _dequant_k(codes, mn, sc, dtype):
-    return (codes.astype(jnp.float32) * sc + mn).astype(dtype)
+    """(B, KVH, C, gap, hd) codes; (B, KVH, C, hd) scales."""
+    return (codes.astype(jnp.float32) * sc[..., None, :]
+            + mn[..., None, :]).astype(dtype)
 
 
 def _dequant_v(codes, mn, sc, v_group, dtype):
-    B, C, gap, KVH, hd = codes.shape
-    G = (KVH * hd) // v_group
-    x = codes.astype(jnp.float32).reshape(B, C, gap, G, v_group)
+    B, KVH, C, gap, hd = codes.shape
+    vg = min(v_group, hd)
+    G = hd // vg
+    x = codes.astype(jnp.float32).reshape(B, KVH, C, gap, G, vg)
     x = x * sc[..., None] + mn[..., None]
     return x.reshape(codes.shape).astype(dtype)
 
@@ -187,17 +194,19 @@ class QuantizedDecodeCache:
         gap = cfg.gap
         nch = S // gap
         if nch > 0:
-            kc = k[:, :nch * gap].reshape(B, nch, gap, KVH, hd)
-            vc = v[:, :nch * gap].reshape(B, nch, gap, KVH, hd)
+            # (B, S', KVH, hd) -> head-major chunks (B, KVH, nch, gap, hd)
+            kc = k[:, :nch * gap].reshape(B, nch, gap, KVH, hd
+                                          ).transpose(0, 3, 1, 2, 4)
+            vc = v[:, :nch * gap].reshape(B, nch, gap, KVH, hd
+                                          ).transpose(0, 3, 1, 2, 4)
             kq, kmn, ksc = _quant_chunk_k(kc, cfg.bits)
             vq, vmn, vsc = _quant_chunk_v(vc, cfg.bits, cfg.v_group)
             for name, val in (("kq", kq), ("k_mn", kmn), ("k_sc", ksc),
                               ("vq", vq), ("v_mn", vmn), ("v_sc", vsc)):
-                buf = self._upd[name][layer_idx]
-                buf = jax.lax.dynamic_update_slice(
-                    buf, val.astype(buf.dtype),
-                    (0, 0) + (0,) * (buf.ndim - 2))
-                self._upd[name] = self._upd[name].at[layer_idx].set(buf)
+                buf = self._upd[name]
+                self._upd[name] = jax.lax.dynamic_update_slice(
+                    buf, val[None].astype(buf.dtype),
+                    (layer_idx,) + (0,) * (buf.ndim - 1))
         tail = S - nch * gap
         res_k = jnp.zeros_like(st.res_k[layer_idx])
         res_v = jnp.zeros_like(st.res_v[layer_idx])
@@ -210,39 +219,50 @@ class QuantizedDecodeCache:
         self._upd["res_v"] = self._upd["res_v"].at[layer_idx].set(res_v)
 
     def _ingest_decode(self, layer_idx, k, v):
+        """Single-token ingest. All writes are SINGLE-SLOT
+        dynamic_update_slices on the full (L, ...) buffers — no whole-
+        layer read-modify-write, no lax.cond carrying the big buffers
+        (either pattern makes XLA copy the entire cache every step;
+        measured ~10 ms/step of copies on an 8B 4k-context decode)."""
         st, cfg = self.state, self.cfg
         gap = cfg.gap
         slot = st.length % gap
-        res_k = jax.lax.dynamic_update_slice(
-            self._upd["res_k"][layer_idx], k.astype(st.res_k.dtype),
-            (0, slot, 0, 0))
-        res_v = jax.lax.dynamic_update_slice(
-            self._upd["res_v"][layer_idx], v.astype(st.res_v.dtype),
-            (0, slot, 0, 0))
+        li = layer_idx
+        self._upd["res_k"] = jax.lax.dynamic_update_slice(
+            self._upd["res_k"], k[None].astype(st.res_k.dtype),
+            (li, 0, slot, 0, 0))
+        self._upd["res_v"] = jax.lax.dynamic_update_slice(
+            self._upd["res_v"], v[None].astype(st.res_v.dtype),
+            (li, 0, slot, 0, 0))
 
         new_len = st.length + 1
         chunk_ready = (new_len % gap) == 0
-        chunk_idx = new_len // gap - 1
+        chunk_idx = jnp.maximum(new_len // gap - 1, 0)
 
-        def fold(args):
-            kq, kmn, ksc, vq, vmn, vsc = args
-            kcq, kcmn, kcsc = _quant_chunk_k(
-                res_k[:, None].astype(jnp.float32), cfg.bits)
-            vcq, vcmn, vcsc = _quant_chunk_v(
-                res_v[:, None].astype(jnp.float32), cfg.bits, cfg.v_group)
-            upd = lambda buf, val: jax.lax.dynamic_update_slice(
-                buf, val.astype(buf.dtype),
-                (0, chunk_idx) + (0,) * (buf.ndim - 2))
-            return (upd(kq, kcq), upd(kmn, kcmn), upd(ksc, kcsc),
-                    upd(vq, vcq), upd(vmn, vcmn), upd(vsc, vcsc))
+        # quantize the (possibly incomplete) residual window every step;
+        # the write below is predicated so it only lands on fold steps
+        rk = self._upd["res_k"][li].transpose(0, 2, 1, 3)[:, :, None]
+        rv = self._upd["res_v"][li].transpose(0, 2, 1, 3)[:, :, None]
+        kcq, kcmn, kcsc = _quant_chunk_k(rk.astype(jnp.float32), cfg.bits)
+        vcq, vcmn, vcsc = _quant_chunk_v(rv.astype(jnp.float32),
+                                         cfg.bits, cfg.v_group)
 
-        bufs = tuple(self._upd[n][layer_idx] for n in
-                     ("kq", "k_mn", "k_sc", "vq", "v_mn", "v_sc"))
-        bufs = jax.lax.cond(chunk_ready, fold, lambda a: a, bufs)
-        for n, b in zip(("kq", "k_mn", "k_sc", "vq", "v_mn", "v_sc"), bufs):
-            self._upd[n] = self._upd[n].at[layer_idx].set(b)
-        self._upd["res_k"] = self._upd["res_k"].at[layer_idx].set(res_k)
-        self._upd["res_v"] = self._upd["res_v"].at[layer_idx].set(res_v)
+        def wr(name, val, chunk_axis):
+            buf = self._upd[name]
+            val = val[None].astype(buf.dtype)          # lead L dim
+            idx = [0] * buf.ndim
+            idx[0] = li
+            idx[chunk_axis] = chunk_idx
+            cur = jax.lax.dynamic_slice(buf, idx, val.shape)
+            sel = jnp.where(chunk_ready, val, cur)
+            self._upd[name] = jax.lax.dynamic_update_slice(buf, sel, idx)
+
+        wr("kq", kcq, 3)
+        wr("k_mn", kcmn, 3)
+        wr("k_sc", kcsc, 3)
+        wr("vq", vcq, 3)
+        wr("v_mn", vcmn, 3)
+        wr("v_sc", vcsc, 3)
 
     # -- protocol ----------------------------------------------------------
     def update(self, layer_idx: int, k, v, positions, mask):
@@ -259,14 +279,17 @@ class QuantizedDecodeCache:
         # assemble keys/values: dequantized chunks ++ residual
         kq = self._upd["kq"][layer_idx]
         vq = self._upd["vq"][layer_idx]
-        C = kq.shape[1]
+        C = kq.shape[2]
         k_chunks = _dequant_k(kq, self._upd["k_mn"][layer_idx],
                               self._upd["k_sc"][layer_idx], k.dtype)
         v_chunks = _dequant_v(vq, self._upd["v_mn"][layer_idx],
                               self._upd["v_sc"][layer_idx], cfg.v_group,
                               k.dtype)
-        k_chunks = k_chunks.reshape(B, C * gap, KVH, hd)
-        v_chunks = v_chunks.reshape(B, C * gap, KVH, hd)
+        # (B, KVH, C, gap, hd) -> (B, C*gap, KVH, hd)
+        k_chunks = k_chunks.reshape(B, KVH, C * gap, hd).transpose(
+            0, 2, 1, 3)
+        v_chunks = v_chunks.reshape(B, KVH, C * gap, hd).transpose(
+            0, 2, 1, 3)
         k_all = jnp.concatenate(
             [k_chunks, self._upd["res_k"][layer_idx].astype(k.dtype)], 1)
         v_all = jnp.concatenate(
@@ -286,6 +309,19 @@ class QuantizedDecodeCache:
         m = (key_pos[None, None, :] <= q_pos[..., None]) & \
             key_valid[None, None, :]
         return k_all, v_all, m[:, None, :, :]
+
+    def ingest_for_fused(self, layer_idx: int, k, v):
+        """Decode-step ingest (S=1) for the fused Pallas attention path:
+        update residual/chunks, return the FULL state buffers + new
+        length. The kernel indexes the layer via a prefetch scalar, so
+        no per-layer slice of the cache is ever materialized and the
+        dense K/V never exists (see ops/pallas/quant_attention.py)."""
+        self._ingest_decode(layer_idx, k, v)
+        self._new_len = self.state.length + 1
+        full = tuple(self._upd[n] for n in
+                     ("kq", "k_mn", "k_sc", "vq", "v_mn", "v_sc",
+                      "res_k", "res_v"))
+        return full, self._new_len
 
     def finalize(self) -> QuantKVState:
         return QuantKVState(length=self._new_len, **self._upd)

@@ -185,10 +185,25 @@ class Attention(fnn.Module):
 
         q, k = rope(q, k, positions, hd, cfg.rope_theta)
 
+        scale = hd ** -0.5
         if cache is not None:
+            from ..kv.cache import QuantizedDecodeCache
+            if (S == 1 and self.use_pallas
+                    and isinstance(cache, QuantizedDecodeCache)
+                    and hd % 128 == 0 and cache.cfg.gap % 8 == 0
+                    and H // KVH <= 8):
+                # fused flash-decode over the packed KV cache: codes
+                # stream HBM->VMEM once; dense K/V never materializes
+                from ..ops.pallas.quant_attention import (
+                    quant_attention_decode)
+                full, new_len = cache.ingest_for_fused(layer_idx, k, v)
+                out = quant_attention_decode(
+                    q[:, 0], full, layer_idx, new_len,
+                    cache.cfg.v_group, scale)
+                out = out.reshape(B, 1, H * hd)
+                return mk(cfg.hidden_size, "o_proj")(out)
             k, v, mask = cache.update(layer_idx, k, v, positions, mask)
 
-        scale = hd ** -0.5
         rep = H // k.shape[2]
         if rep > 1:
             # GQA via grouped einsum — never materialize repeated K/V

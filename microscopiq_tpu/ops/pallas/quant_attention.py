@@ -1,0 +1,281 @@
+"""Fused quantized-KV flash-decode attention kernel.
+
+SURVEY.md §7 step 2(c): the serving replacement for assembling a dense
+bf16 K/V from the quantized cache every step (the reference's simulated
+path dequantizes the whole window in ``compress_insert_function``,
+``kv_quant/GEARLM/Simulated/compress_function.py:428-516``; our XLA
+fallback `QuantizedDecodeCache.update` does the TPU equivalent). Here the
+uint8 KIVI-grouped codes stream HBM→VMEM once, are dequantized tile by
+tile, and feed an online-softmax flash decode — KV HBM traffic is the
+packed bytes (4x less than bf16 at 4-bit codes in uint8 containers), and
+the dense K/V never exists in HBM.
+
+Layout contract (kv/cache.py QuantKVState, head-major):
+  kq, vq:      (B, KVH, C, gap, hd)  uint8
+  k_mn, k_sc:  (B, KVH, C, hd)       f32   per-chunk per-channel (KIVI-K)
+  v_mn, v_sc:  (B, KVH, C, gap, Gh)  f32   per-token feature groups
+Residual (recent fp window) tokens are handled in XLA (small) and merged
+with the kernel's partial softmax state — the standard flash combine.
+
+Each grid step processes CB chunks (a (CB*gap, hd) key tile) so the DMAs
+are hundreds of KB, not the 8 KB a single chunk would be — single-chunk
+steps were grid-overhead-bound (measured 2.5x slower end-to-end).
+
+The pure-JAX twin is `quant_attention_decode_reference`, differential-
+tested in tests/test_quant_attention.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _expand_rows(a: jax.Array, times: int) -> jax.Array:
+    """(R, N) -> (R*times, N), each row repeated `times` consecutively
+    (sublane broadcast + regroup, free in Mosaic)."""
+    r, n = a.shape
+    return jnp.broadcast_to(a[:, None, :], (r, times, n)).reshape(
+        r * times, n)
+
+
+def _chunk_kernel(nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
+                  vq_ref, vmn_ref, vsc_ref,
+                  o_ref, m_ref, l_ref, acc_ref, ms_ref, ls_ref,
+                  *, ncb: int, cb: int, rep: int, gap: int, hd: int,
+                  vg: int, scale: float):
+    c = pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        ms_ref[:] = jnp.full_like(ms_ref, NEG_INF)
+        ls_ref[:] = jnp.zeros_like(ls_ref)
+
+    nfull = nfull_ref[0]
+
+    @pl.when(c * cb < nfull)
+    def _():
+        T = cb * gap
+        q = q_ref[0, 0].astype(jnp.float32)              # (rep, hd)
+        # ---- K tile: (CB, gap, hd) codes -> (T, hd) dequantized
+        kc = (kq_ref[0, 0].reshape(T, hd)
+              .astype(jnp.int32).astype(jnp.float32))    # u8 -> i32 -> f32
+        ksc = ksc_ref[0, 0, pl.dslice(c * cb, cb), :]    # (CB, hd)
+        kmn = kmn_ref[0, 0, pl.dslice(c * cb, cb), :]
+        k = kc * _expand_rows(ksc, gap) + _expand_rows(kmn, gap)
+        logits = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (rep, T)
+        # mask keys whose chunk is not yet folded
+        key_chunk = c * cb + lax.broadcasted_iota(jnp.int32, (rep, T),
+                                                  1) // gap
+        logits = jnp.where(key_chunk < nfull, logits, NEG_INF)
+
+        m_old = ms_ref[:, :1]                            # (rep, 1)
+        m_new = jnp.maximum(m_old, jnp.max(logits, axis=1,
+                                           keepdims=True))
+        alpha = jnp.exp(m_old - m_new)
+        p = jnp.exp(logits - m_new)                      # (rep, T)
+
+        # ---- V tile
+        vc = (vq_ref[0, 0].reshape(T, hd)
+              .astype(jnp.int32).astype(jnp.float32))
+        Gh = hd // vg
+        vs = vsc_ref[0, 0].reshape(T, Gh)
+        vm = vmn_ref[0, 0].reshape(T, Gh)
+        sc_full = jnp.concatenate(
+            [jnp.broadcast_to(vs[:, gi:gi + 1], (T, vg))
+             for gi in range(Gh)], axis=1)               # (T, hd)
+        mn_full = jnp.concatenate(
+            [jnp.broadcast_to(vm[:, gi:gi + 1], (T, vg))
+             for gi in range(Gh)], axis=1)
+        v = vc * sc_full + mn_full
+
+        pv = lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        ls_ref[:, :1] = ls_ref[:, :1] * alpha + jnp.sum(p, axis=1,
+                                                        keepdims=True)
+        ms_ref[:, :1] = m_new
+
+    @pl.when(c == ncb - 1)
+    def _():
+        o_ref[0, 0] = acc_ref[:]
+        m_ref[0, 0] = ms_ref[:, :1]
+        l_ref[0, 0] = ls_ref[:, :1]
+
+
+def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, layer, nfull, scale,
+                     interpret=False):
+    """Partial flash state over the quantized chunks of one layer.
+
+    q: (B, KVH, rep, hd) bf16; kq/... are the FULL cache buffers with a
+    leading layer axis folded into the batch axis ((L*B, KVH, C, ...),
+    free row-major views) — the layer is selected by a prefetch scalar
+    in the index maps so no per-layer slice is ever materialized.
+    Returns (o (B,KVH,rep,hd) f32 unnormalized, m, l (B,KVH,rep,1))."""
+    B, KVH, rep, hd = q.shape
+    C, gap = kq.shape[2], kq.shape[3]
+    Gh = vsc.shape[-1]
+    vg = hd // Gh
+    # chunks per grid step: target ~256 KB of codes per operand DMA
+    # (the f32 dequant temporaries are 4x the codes; ~512 KB tiles blew
+    # Mosaic's 16 MB scoped-vmem budget by a hair)
+    cb = max(1, min(C, (256 * 1024) // (gap * hd)))
+    while C % cb:
+        cb -= 1
+    ncb = C // cb
+    grid = (B, KVH, ncb)
+    kernel = functools.partial(
+        _chunk_kernel, ncb=ncb, cb=cb, rep=rep, gap=gap, hd=hd, vg=vg,
+        scale=scale)
+
+    def lb(s, b):          # layer*B + b row in the folded (L*B, ...) view
+        return s[1] * B + b
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, hd), lambda b, g, c, s: (b, g, 0, 0)),
+            pl.BlockSpec((1, 1, cb, gap, hd),
+                         lambda b, g, c, s: (lb(s, b), g, c, 0, 0)),
+            pl.BlockSpec((1, 1, C, hd),
+                         lambda b, g, c, s: (lb(s, b), g, 0, 0)),
+            pl.BlockSpec((1, 1, C, hd),
+                         lambda b, g, c, s: (lb(s, b), g, 0, 0)),
+            pl.BlockSpec((1, 1, cb, gap, hd),
+                         lambda b, g, c, s: (lb(s, b), g, c, 0, 0)),
+            pl.BlockSpec((1, 1, cb, gap, Gh),
+                         lambda b, g, c, s: (lb(s, b), g, c, 0, 0)),
+            pl.BlockSpec((1, 1, cb, gap, Gh),
+                         lambda b, g, c, s: (lb(s, b), g, c, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, rep, hd), lambda b, g, c, s: (b, g, 0, 0)),
+            pl.BlockSpec((1, 1, rep, 1), lambda b, g, c, s: (b, g, 0, 0)),
+            pl.BlockSpec((1, 1, rep, 1), lambda b, g, c, s: (b, g, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rep, hd), jnp.float32),
+            pltpu.VMEM((rep, 1), jnp.float32),
+            pltpu.VMEM((rep, 1), jnp.float32),
+        ],
+    )
+    o, m, l = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KVH, rep, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, KVH, rep, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, KVH, rep, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.stack([jnp.asarray(nfull, jnp.int32),
+                 jnp.asarray(layer, jnp.int32)]),
+      q, kq, kmn, ksc, vq, vmn, vsc)
+    return o, m, l
+
+
+def _residual_attention(q, res_k, res_v, res_len, scale):
+    """Partial flash state over the fp residual window (XLA; small).
+
+    q (B, KVH, rep, hd); res_k/res_v (B, gap, KVH, hd)."""
+    gap = res_k.shape[1]
+    k = res_k.astype(jnp.float32).transpose(0, 2, 1, 3)  # (B,KVH,gap,hd)
+    v = res_v.astype(jnp.float32).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bgrd,bgtd->bgrt", q.astype(jnp.float32),
+                        k) * scale
+    valid = (jnp.arange(gap) < res_len)[None, None, None, :]
+    logits = jnp.where(valid, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m) * valid
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bgrt,bgtd->bgrd", p, v)
+    return o, m, l
+
+
+def quant_attention_decode(q, state_full, layer, length, v_group: int,
+                           scale: float, interpret: bool = False):
+    """Fused decode attention over one layer of a quantized KV cache.
+
+    q: (B, H, hd) current-step queries (S=1).
+    state_full: (kq, k_mn, k_sc, vq, v_mn, v_sc, res_k, res_v) FULL
+        cache buffers (leading layer axis, QuantKVState layouts).
+    layer: which layer to attend over (static or traced int).
+    length: total live tokens INCLUDING the current one (the current
+        token's K/V must already be in the residual window).
+    Returns (B, H, hd) attention output in q.dtype.
+    """
+    kq, kmn, ksc, vq, vmn, vsc, res_k, res_v = state_full
+    L = kq.shape[0]
+    B, H, hd = q.shape
+    KVH = kq.shape[2]
+    rep = H // KVH
+    gap = kq.shape[4]
+    qg = q.reshape(B, KVH, rep, hd)
+
+    nfull = length // gap
+    res_len = length - nfull * gap
+
+    fold = lambda a: a.reshape((L * B,) + a.shape[2:])   # free view
+    o1, m1, l1 = _chunk_attention(
+        qg.astype(jnp.bfloat16), fold(kq), fold(kmn), fold(ksc),
+        fold(vq), fold(vmn), fold(vsc), layer, nfull, scale,
+        interpret=interpret)
+    res_k_l = jax.lax.dynamic_index_in_dim(res_k, layer, 0,
+                                           keepdims=False)
+    res_v_l = jax.lax.dynamic_index_in_dim(res_v, layer, 0,
+                                           keepdims=False)
+    o2, m2, l2 = _residual_attention(qg, res_k_l, res_v_l, res_len,
+                                     scale)
+
+    m = jnp.maximum(m1, m2)
+    a1 = jnp.exp(m1 - m)
+    a2 = jnp.exp(m2 - m)
+    o = o1 * a1 + o2 * a2
+    l = l1 * a1 + l2 * a2
+    out = o / jnp.maximum(l, 1e-30)
+    return out.reshape(B, H, hd).astype(q.dtype)
+
+
+def quant_attention_decode_reference(q, state_full, layer, length,
+                                     v_group: int, scale: float):
+    """Pure-JAX twin: dequantize everything, masked softmax attention."""
+    from ...kv.cache import _dequant_k, _dequant_v
+
+    kq, kmn, ksc, vq, vmn, vsc, res_k, res_v = (
+        b[layer] for b in state_full)
+    B, H, hd = q.shape
+    KVH = kq.shape[1]
+    rep = H // KVH
+    C, gap = kq.shape[2], kq.shape[3]
+    k_chunks = _dequant_k(kq, kmn, ksc, jnp.float32)     # (B,KVH,C,gap,hd)
+    v_chunks = _dequant_v(vq, vmn, vsc, v_group, jnp.float32)
+    k_all = jnp.concatenate(
+        [k_chunks.reshape(B, KVH, C * gap, hd),
+         res_k.astype(jnp.float32).transpose(0, 2, 1, 3)], axis=2)
+    v_all = jnp.concatenate(
+        [v_chunks.reshape(B, KVH, C * gap, hd),
+         res_v.astype(jnp.float32).transpose(0, 2, 1, 3)], axis=2)
+
+    nfull = length // gap
+    res_len = length - nfull * gap
+    chunk_valid = jnp.arange(C * gap) < nfull * gap
+    res_valid = jnp.arange(gap) < res_len
+    valid = jnp.concatenate([chunk_valid, res_valid])
+
+    qg = q.reshape(B, KVH, rep, hd).astype(jnp.float32)
+    logits = jnp.einsum("bgrd,bgtd->bgrt", qg, k_all) * scale
+    logits = jnp.where(valid[None, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bgrt,bgtd->bgrd", probs, v_all)
+    return out.reshape(B, H, hd).astype(q.dtype)

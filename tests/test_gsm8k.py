@@ -55,3 +55,50 @@ def test_evaluate_with_oracle(tmp_path):
 def test_evaluate_with_bad_generator():
     res = evaluate_gsm8k(lambda ps: ["i do not know"] * len(ps), limit=8)
     assert res["accuracy"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# BBH / MMLU / AQuA CoT evaluators (absent from the reference's repo —
+# its scripts reference them; we supply working ones, eval/cot_tasks.py)
+# ---------------------------------------------------------------------------
+def test_cot_task_extract_choice():
+    from microscopiq_tpu.eval.cot_tasks import extract_choice
+    assert extract_choice("blah. The answer is (B).") == "B"
+    assert extract_choice("answer: C") == "C"
+    assert extract_choice("The answer is (a)") == "A"
+    assert extract_choice("no answer here") == "[invalid]"
+    # last answer wins (CoT often restates)
+    assert extract_choice("The answer is (A). Wait, the answer is (D).") \
+        == "D"
+
+
+def test_cot_task_eval_oracle(tmp_path):
+    """An oracle generator that reads the right option scores 100%."""
+    import re as _re
+
+    from microscopiq_tpu.eval.cot_tasks import (evaluate_cot_task,
+                                                load_task)
+
+    for task in ("bbh", "mmlu", "aqua"):
+        rows = load_task(task, limit=8)
+        lookup = {r["question"]: r["answer"] for r in rows}
+
+        def oracle(prompts):
+            outs = []
+            for p in prompts:
+                q = p.split("Question: ")[-1].split(
+                    "\nLet's think")[0]
+                outs.append(f"The answer is ({lookup[q]}).")
+            return outs
+
+        res = evaluate_cot_task(task, oracle, limit=8,
+                                output_dir=str(tmp_path))
+        assert res["accuracy"] == 1.0, (task, res)
+        assert (tmp_path / f"evaluation_{task}.json").exists()
+
+
+def test_cot_task_eval_wrong_answers():
+    from microscopiq_tpu.eval.cot_tasks import evaluate_cot_task
+    res = evaluate_cot_task("mmlu", lambda ps: ["The answer is (E)."
+                                                for _ in ps], limit=8)
+    assert res["accuracy"] == 0.0
