@@ -100,8 +100,13 @@ def pack_params(params, mx_specs: MxSpecs,
                     block_size=mx_specs["block_size"],
                     outlier_budget=outlier_budget, axis=0)
             fmt = mx_specs["w_elem_format"]
+            # GEMM transports: emi8 for sub-byte fp (integer in-kernel
+            # decode), sb4 for int4 (half the HBM bytes at equal speed);
+            # int2's 4-field unpack measured VPU-bound, so it stays in
+            # its int8 container by default (sb2 is opt-in via pack_mx).
             transport = ("emi8" if fmt in ("fp4", "fp4_e2m1", "fp6_e3m2",
-                                           "fp6_e2m3") else "native")
+                                           "fp6_e2m3")
+                         else "sb4" if fmt == "int4" else "native")
             return pack_mx(leaf, mx_specs["scale_bits"] or 8, fmt,
                            mx_specs["block_size"], axis=0,
                            transport=transport)

@@ -130,6 +130,54 @@ def emi8_fold(fmt) -> int:
     return mm - emin
 
 
+def subbyte_params(fmt) -> Tuple[int, int]:
+    """(codes_per_byte, bits) for the sb4/sb2 GEMM transports."""
+    if isinstance(fmt, str):
+        fmt = ElemFormat.from_str(fmt)
+    if fmt == ElemFormat.int4:
+        return 2, 4
+    if fmt == ElemFormat.int2:
+        return 4, 2
+    raise ValueError(f"sub-byte transport only for int4/int2, got {fmt}")
+
+
+def _subbyte_pack(codes: jax.Array, block_size: int, per: int,
+                  bits: int) -> jax.Array:
+    """Blockwise-interleaved sub-byte packing along the blocked axis.
+
+    codes: (..., K) int8 with K % block_size == 0. Byte row r of block b
+    packs the codes at offsets r, r + B/per, ..., r + (per-1)·B/per —
+    the layout the SAD kernel reassembles with one sublane concat after
+    `per` shift-extracts (no lane ops). Returns (..., K//per) int8.
+    """
+    B = block_size
+    assert B % per == 0
+    *lead, K = codes.shape
+    nb = K // B
+    c = codes.astype(jnp.int32).reshape(*lead, nb, per, B // per)
+    mask = (1 << bits) - 1
+    out = jnp.zeros(c.shape[:-2] + (B // per,), jnp.int32)
+    for i in range(per):
+        out = out | ((c[..., i, :] & mask) << (bits * i))
+    return out.astype(jnp.int8).reshape(*lead, nb * (B // per))
+
+
+def _subbyte_unpack(packed: jax.Array, block_size: int, per: int,
+                    bits: int) -> jax.Array:
+    """Inverse of :func:`_subbyte_pack` (pure JAX; the kernel twin)."""
+    B = block_size
+    *lead, Kp = packed.shape
+    nb = Kp // (B // per)
+    p = packed.astype(jnp.int32).reshape(*lead, nb, B // per)
+    shift = 32 - bits
+    fields = []
+    for i in range(per):
+        f = (p >> (bits * i)) & ((1 << bits) - 1)
+        fields.append(((f << shift) >> shift))      # sign-extend
+    c = jnp.stack(fields, axis=-2)                  # (..., nb, per, B/per)
+    return c.reshape(*lead, nb * B).astype(jnp.int8)
+
+
 def to_serving_layout(p: "PackedMX") -> "PackedMX":
     """Pre-block a (K, N) axis=0 PackedMX into the exact 3D operand forms
     the scale-after-dot GEMV consumes: codes (K/B, B, N), scale_exp
@@ -285,11 +333,18 @@ def pack_mx(A: jax.Array, scale_bits: int, elem_format, block_size: int,
                                allow_denorm=True, saturate_normals=True)
     if transport == "emi8":
         codes = _emi8_encode(q, fmt)
+        codes = codes.reshape(blocked.shape[:-2] + (-1,))
+    elif transport in ("sb4", "sb2"):
+        per, bits = subbyte_params(fmt)
+        assert per == {"sb4": 2, "sb2": 4}[transport], \
+            f"{transport} transport needs {'int4' if per == 2 else 'int2'}"
+        codes = _code_cast(q, fmt).reshape(blocked.shape[:-2] + (-1,))
+        codes = _subbyte_pack(codes, block_size, per, bits)
     elif transport == "native":
         codes = _code_cast(q, fmt)
+        codes = codes.reshape(blocked.shape[:-2] + (-1,))
     else:
         raise ValueError(f"unknown transport {transport!r}")
-    codes = codes.reshape(blocked.shape[:-2] + (-1,))
     se = se[..., 0].astype(jnp.int8)
     if axis_n != A.ndim - 1:
         codes = jnp.moveaxis(codes, -1, axis_n)
@@ -309,6 +364,9 @@ def dequantize_mx(p: PackedMX, dtype=jnp.float32) -> jax.Array:
     if axis_n != codes.ndim - 1:
         codes = jnp.moveaxis(codes, axis_n, -1)
         se = jnp.moveaxis(se, axis_n, -1)
+    if p.transport in ("sb4", "sb2"):
+        per, bits = subbyte_params(p.elem_format)
+        codes = _subbyte_unpack(codes, p.block_size, per, bits)
     nb = codes.shape[-1] // p.block_size
     if p.transport == "emi8":
         vals = _emi8_decode_f32(codes, p.elem_format)

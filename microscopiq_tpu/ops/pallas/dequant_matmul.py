@@ -150,21 +150,36 @@ def _sad_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # codes arrive as the plain 2D (TK, TN) weight tile; the per-block
-    # view is a sublane regroup (free in Mosaic's (8,128) tiling since
-    # block_size % 8 == 0). Doing the split here rather than reshaping
-    # the whole codes array on the host avoids an XLA retiling copy of
-    # the full weight matrix on every call (~80 µs per large matmul).
+    # codes arrive as the plain 2D (TK[/per], TN) weight tile; the
+    # per-block view is a sublane regroup (free in Mosaic's (8,128)
+    # tiling since block_size % 8 == 0). Doing the split here rather
+    # than reshaping the whole codes array on the host avoids an XLA
+    # retiling copy of the full weight matrix on every call (~80 µs per
+    # large matmul).
     c2 = c_ref[:]
     tk, tn = c2.shape
-    c3 = c2.reshape(tk // block_size, block_size, tn)
-    if decode == "emi8":
-        c = c3.astype(jnp.int32)
-        mhat = lax.shift_right_arithmetic(lax.shift_left(c, 32 - mw),
-                                          32 - mw)
-        w = lax.shift_left(mhat, c >> mw).astype(jnp.bfloat16)
-    else:  # int8 / bf16 / fp16 containers: native convert
-        w = c3.astype(jnp.bfloat16)
+    if decode in ("sb4", "sb2"):
+        # sub-byte: `per` codes per byte, blockwise-interleaved
+        # (packing._subbyte_pack); reassemble with shift-extracts and
+        # one sublane concat — no lane ops.
+        per = 2 if decode == "sb4" else 4
+        bits = 8 // per
+        rows = block_size // per
+        p32 = c2.reshape(tk // rows, rows, tn).astype(jnp.int32)
+        fields = []
+        for i in range(per):
+            f = lax.shift_left(p32 >> (bits * i), 32 - bits)
+            fields.append(lax.shift_right_arithmetic(f, 32 - bits))
+        w = jnp.concatenate(fields, axis=1).astype(jnp.bfloat16)
+    else:
+        c3 = c2.reshape(tk // block_size, block_size, tn)
+        if decode == "emi8":
+            c = c3.astype(jnp.int32)
+            mhat = lax.shift_right_arithmetic(lax.shift_left(c, 32 - mw),
+                                              32 - mw)
+            w = lax.shift_left(mhat, c >> mw).astype(jnp.bfloat16)
+        else:  # int8 / bf16 / fp16 containers: native convert
+            w = c3.astype(jnp.bfloat16)
     part = lax.dot_general(
         x_ref[:], w, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)          # (nbt, TM, TN)
@@ -181,6 +196,8 @@ def _sad_fold(w: PackedMX) -> Tuple[str, int, int]:
     if w.transport == "emi8":
         mw, _, _ = pk.emi8_params(w.elem_format)
         return "emi8", pk.emi8_fold(w.elem_format), mw
+    if w.transport in ("sb4", "sb2"):
+        return w.transport, _scale_fold(w.elem_format), 0
     return "native", _scale_fold(w.elem_format), 0
 
 
@@ -192,9 +209,11 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
     assert w.axis == 0, "fused GEMM expects transposed (K, N) weights"
     B = w.block_size
     decode, fold, mw = _sad_fold(w)
+    per = {"sb4": 2, "sb2": 4}.get(decode, 1)
     lead = x.shape[:-1]
     ww = pk.from_serving_layout(w)
-    Kp, N = ww.codes.shape
+    Krows, N = ww.codes.shape
+    Kp = Krows * per
     x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
     M = x2.shape[0]
 
@@ -211,7 +230,7 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
 
     x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp2 - x2.shape[-1])))
     xb = x2.reshape(Mp, NBp, B).transpose(1, 0, 2)   # (NBp, Mp, B), tiny
-    codes = jnp.pad(ww.codes, ((0, Kp2 - Kp), (0, Np - N)))
+    codes = jnp.pad(ww.codes, ((0, (Kp2 - Kp) // per), (0, Np - N)))
     se = jnp.pad(ww.scale_exp, ((0, (Kp2 - Kp) // B), (0, Np - N)))
 
     nk = Kp2 // TK
@@ -224,7 +243,7 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
         in_specs=[
             pl.BlockSpec((nbt, TM, B), lambda i, j, k: (k, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK, TN), lambda i, j, k: (k, j),
+            pl.BlockSpec((TK // per, TN), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TK // B, TN), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),

@@ -154,3 +154,20 @@ def test_container_embeds_exactly():
         cast = np.asarray(jnp.asarray(grid).astype(container_dtype(fmt))
                           .astype(jnp.float32))
         np.testing.assert_array_equal(cast, grid)
+
+
+def test_subbyte_transport_bitexact():
+    """sb4/sb2 GEMM transports decode bit-exactly vs native containers
+    (packing._subbyte_pack/_subbyte_unpack)."""
+    import jax.numpy as jnp
+
+    from microscopiq_tpu.ops.packing import dequantize_mx, pack_mx
+
+    rng = np.random.default_rng(5)
+    for fmt, tr, per in (("int4", "sb4", 2), ("int2", "sb2", 4)):
+        W = jnp.asarray(rng.normal(0, .5, (64, 96)).astype(np.float32))
+        a = np.asarray(dequantize_mx(pack_mx(W, 8, fmt, 16, axis=0)))
+        p = pack_mx(W, 8, fmt, 16, axis=0, transport=tr)
+        b = np.asarray(dequantize_mx(p))
+        np.testing.assert_array_equal(a, b)
+        assert p.codes.shape == (64 // per, 96)
