@@ -122,3 +122,49 @@ def load_checkpoint(path: str) -> Any:
         else:
             node[last] = arr(f"{i}.a")
     return root
+
+
+# ---------------------------------------------------------------------------
+# Delta checkpoints (parity: vlm/llava/model/{apply_delta,make_delta}.py —
+# LLaVA ships weights as deltas over a base LM; same pytree algebra here)
+# ---------------------------------------------------------------------------
+def make_delta(base: Any, target: Any) -> Any:
+    """delta = target - base, leaf-wise over matching dense pytrees
+    (make_delta.py semantics). Packed leaves are not supported — deltas
+    of quantized codes are meaningless; compute deltas pre-packing."""
+    def sub(t, b):
+        if isinstance(t, _PACKED_TYPES) or isinstance(b, _PACKED_TYPES):
+            raise TypeError("make_delta operates on dense trees")
+        return t - b
+
+    return jax.tree_util.tree_map(sub, target, base)
+
+
+def apply_delta(base: Any, delta: Any) -> Any:
+    """target = base + delta (apply_delta.py:1-48 semantics). Leaves
+    present only in `delta` (e.g. mm_projector) are kept as-is when the
+    trees are dicts."""
+    if isinstance(base, dict) and isinstance(delta, dict):
+        out = {}
+        for k in set(base) | set(delta):
+            if k not in base:
+                out[k] = delta[k]
+            elif k not in delta:
+                out[k] = base[k]
+            else:
+                out[k] = apply_delta(base[k], delta[k])
+        return out
+    return jax.tree_util.tree_map(lambda b, d: b + d, base, delta)
+
+
+def consolidate(params: Any, dtype=None) -> Any:
+    """Materialize a param tree to host numpy (consolidate.py analog:
+    gather a possibly-sharded tree into one plain checkpointable tree)."""
+    def conv(x):
+        if isinstance(x, _PACKED_TYPES):
+            return jax.tree_util.tree_map(conv, x)
+        a = np.asarray(jax.device_get(x))
+        return a.astype(dtype) if dtype is not None else a
+
+    return jax.tree_util.tree_map(
+        conv, params, is_leaf=lambda x: isinstance(x, _PACKED_TYPES))

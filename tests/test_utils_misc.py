@@ -93,3 +93,24 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(dequantize_mx_outlier(back["model"]["packed_out"])),
         np.asarray(dequantize_mx_outlier(tree["model"]["packed_out"])))
+
+
+def test_delta_checkpoints():
+    """make_delta/apply_delta roundtrip (vlm delta-weights parity)."""
+    import jax.numpy as jnp
+
+    from microscopiq_tpu.utils.checkpoint import (apply_delta, consolidate,
+                                                  make_delta)
+
+    base = {"a": {"kernel": jnp.ones((4, 4))}, "b": jnp.zeros(3)}
+    target = {"a": {"kernel": jnp.full((4, 4), 3.0)}, "b": jnp.ones(3)}
+    delta = make_delta(base, target)
+    back = apply_delta(base, delta)
+    np.testing.assert_allclose(np.asarray(back["a"]["kernel"]), 3.0)
+    np.testing.assert_allclose(np.asarray(back["b"]), 1.0)
+    # extra keys in delta are kept (mm_projector case)
+    delta["extra"] = jnp.ones(2)
+    merged = apply_delta(base, delta)
+    assert "extra" in merged
+    cons = consolidate(merged)
+    assert isinstance(cons["b"], np.ndarray)
