@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.outlier import quantize_mx_outlier_op
+from ..ops import packing
 from ..ops.packing import PackedMX, pack_mx, pack_mx_outlier
 from ..specs import MxSpecs
 
@@ -76,7 +77,8 @@ def quantize_params(params, mx_specs: MxSpecs,
 
 def pack_params(params, mx_specs: MxSpecs,
                 skip: Sequence[str] = ("lm_head",),
-                outlier_budget: int = 0):
+                outlier_budget: int = 0,
+                outlier_transport: str = "emi8m"):
     """Pack every linear kernel into PackedMX(axis=0) for the fused GEMM.
 
     Kernels are assumed flax-style (in_features, out_features); the
@@ -90,7 +92,7 @@ def pack_params(params, mx_specs: MxSpecs,
                      for p in path)
         if keys in targets:
             if outlier_budget > 0:
-                return pack_mx_outlier(
+                p = pack_mx_outlier(
                     leaf, mx_specs["scale_bits"] or 8,
                     mx_specs["scale_bits"] or 8,
                     mx_specs["w_elem_format"],
@@ -99,6 +101,16 @@ def pack_params(params, mx_specs: MxSpecs,
                     std_dev=mx_specs["outlier_std_dev"],
                     block_size=mx_specs["block_size"],
                     outlier_budget=outlier_budget, axis=0)
+                if outlier_transport == "emi8m":
+                    # collapse both levels into one per-element byte
+                    # stream so serving takes the DMA-bound scale-after-
+                    # dot kernel with no side-band (exact; falls back to
+                    # the side-band form on degenerate tensors)
+                    try:
+                        return packing.merge_outlier_emi8(p)
+                    except ValueError:
+                        return p
+                return p
             fmt = mx_specs["w_elem_format"]
             # GEMM transports: emi8 for sub-byte fp (integer in-kernel
             # decode), sb4 for int4 (half the HBM bytes at equal speed);
@@ -126,6 +138,12 @@ def _concat_kernels(kernels):
                     and k.block_size == first.block_size
                     and k.transport == first.transport
                     and k.axis == first.axis == 0)
+        if first.transport == "emi8m":
+            # per-tensor field splits may differ; rebase to a common one
+            mw = max(k.transport_mw for k in kernels)
+            fold = max(k.transport_fold for k in kernels)
+            kernels = [packing.emi8m_rebase(k, mw, fold) for k in kernels]
+            first = kernels[0]
         import dataclasses as _dc
 
         return _dc.replace(

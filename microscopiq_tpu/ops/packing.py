@@ -118,9 +118,9 @@ def _emi8_decode_f32(codes: jax.Array, fmt) -> jax.Array:
     """emi8 bytes -> q · 2^(mm - emin); the caller applies the
     2^(emin - mm) fold (usually merged into the block scale)."""
     mw, mm, emin = emi8_params(fmt)
-    c = codes.astype(jnp.int32)
+    c = codes.astype(jnp.int32) & 0xFF
     mhat = (c << (32 - mw)) >> (32 - mw)      # sign-extend low mw bits
-    eprime = c >> mw                          # high bits (byte is >= 0)
+    eprime = c >> mw                          # high bits of the raw byte
     return (mhat << eprime).astype(jnp.float32)
 
 
@@ -128,6 +128,172 @@ def emi8_fold(fmt) -> int:
     """Scale fold for emi8 codes: value = decoded · 2^(-fold)."""
     mw, mm, emin = emi8_params(fmt)
     return mm - emin
+
+
+# ---------------------------------------------------------------------------
+# emi8m: the two-level outlier format merged into one emi8-style stream
+#
+# The reference's serving story for the MicroScopiQ format is hardware: the
+# SCOPE butterfly NoC routes outlier partial sums into pruned inlier slots
+# (rtl/MicroScopiQ/scope.v:22-50) and scale_compute.v:55-57 merges the
+# L2/L1 scales. The TPU analog below does the merge ONCE at pack time:
+# every element (inlier or outlier) of value m̂·2^E is stored as one int8
+# byte (e' << mw) | m̂ with e' = E + fold − se relative to the block's L1
+# exponent. Serving then needs NO side-band and NO in-kernel scatter — the
+# plain scale-after-dot GEMV streams one byte per element at the chip's
+# DMA rate. Encoding is exact (both levels are small-mantissa × power-of-
+# two); merge_outlier_emi8 verifies representability and raises otherwise.
+# ---------------------------------------------------------------------------
+def emi8m_decode_f32(codes: jax.Array, mw: int) -> jax.Array:
+    """emi8m bytes -> value · 2^fold (caller folds 2^(se - fold))."""
+    c = codes.astype(jnp.int32) & 0xFF
+    mhat = (c << (32 - mw)) >> (32 - mw)      # sign-extend low mw bits
+    return (mhat << (c >> mw)).astype(jnp.float32)
+
+
+def _emi8m_fields(t: "np.ndarray", mw: int, fold: int):
+    """Exact (e', m̂) int fields for float64 values t·2^fold, or None if the
+    (mw, fold) split cannot represent them exactly."""
+    import numpy as np
+
+    m, e = np.frexp(t)
+    m53 = np.round(m * (2.0 ** 53)).astype(np.int64)     # exact for f64
+    e0 = e.astype(np.int64) - 53
+    nz = m53 != 0
+    low = np.ones_like(m53)
+    low[nz] = m53[nz] & -m53[nz]                          # lowest set bit
+    tz = np.log2(low.astype(np.float64)).astype(np.int64)
+    m0 = np.where(nz, m53 >> tz, 0)
+    e0 = np.where(nz, e0 + tz, 0)
+
+    g = e0 + fold                                         # required shift
+    if np.any(nz & (g < 0)):
+        return None                                       # sub-fold values
+    efield_max = (1 << (8 - mw)) - 1
+    j = np.maximum(0, g - efield_max)                     # excess into m̂
+    if np.any(nz & (j > 32)):
+        return None
+    mhat = np.where(nz, m0 << np.minimum(j, 32), 0)
+    eprime = np.where(nz, g - j, 0)
+    if np.any((mhat > (1 << (mw - 1)) - 1) | (mhat < -(1 << (mw - 1)))):
+        return None
+    # in-kernel decode does m̂ << e' in int32: keep it exactly representable
+    with np.errstate(over="ignore"):
+        if np.any(nz & (np.abs(mhat.astype(np.float64))
+                        * np.exp2(eprime.astype(np.float64)) >= 2.0 ** 31)):
+            return None
+    return eprime.astype(np.int64), mhat.astype(np.int64)
+
+
+def _emi8m_bytes(eprime, mhat, mw: int):
+    import numpy as np
+
+    byte = (eprime << mw) | (mhat & ((1 << mw) - 1))
+    return (byte & 0xFF).astype(np.uint8).view(np.int8)
+
+
+def merge_outlier_emi8(p: "PackedMXOutlier", mw: int = 0, fold: int = -1,
+                       ) -> "PackedMX":
+    """Collapse a PackedMXOutlier into one emi8m PackedMX (exact).
+
+    With mw/fold defaulted, the smallest feasible mantissa width and scale
+    fold are chosen per tensor. Raises ValueError when the values cannot be
+    represented exactly (degenerate scale gaps; keep the side-band then).
+    """
+    import numpy as np
+
+    inl = p.inlier
+    bs = inl.block_size
+    codes = np.asarray(inl.codes)
+    se_in = np.asarray(inl.scale_exp).astype(np.int64)
+    oc = np.asarray(jnp.asarray(p.out_codes, jnp.float32))
+    pos = np.asarray(p.out_pos)
+    se_out = np.asarray(p.out_scale_exp).astype(np.int64)
+    axis_n = inl.axis % codes.ndim
+    if axis_n != codes.ndim - 1:
+        codes = np.moveaxis(codes, axis_n, -1)
+        se_in = np.moveaxis(se_in, axis_n, -1)
+        oc = np.moveaxis(oc, axis_n, -2)
+        pos = np.moveaxis(pos, axis_n, -2)
+        se_out = np.moveaxis(se_out, axis_n, -1)
+
+    nb = codes.shape[-1] // bs
+    t = np.asarray(jnp.asarray(_code_decode(jnp.asarray(codes),
+                                            inl.elem_format))
+                   ).astype(np.float64)
+    t = t.reshape(t.shape[:-1] + (nb, bs))
+    # Outlier absolute value is oc · 2^(L2 − L1): pack_mx_outlier scales
+    # outliers by 2^{+L1} before the L2 exponent is taken (the reference's
+    # utils/quant.py:94-136 convention). Relative to the block's L1
+    # exponent that is oc · 2^(L2 − 2·L1).
+    rel = oc.astype(np.float64) * np.exp2((se_out - 2 * se_in)[..., None]
+                                          .astype(np.float64))
+    valid = pos >= 0
+    addv = np.zeros_like(t).reshape(-1, bs)
+    rows = np.arange(addv.shape[0])[:, None]
+    np.add.at(addv, (rows, np.where(valid, pos, 0).reshape(addv.shape[0], -1)),
+              np.where(valid, rel, 0.0).reshape(addv.shape[0], -1))
+    t = t + addv.reshape(t.shape)
+
+    flat = t.reshape(-1)
+    tried = []
+    for mw_c in ([mw] if mw else range(2, 8)):
+        if fold >= 0:
+            folds = [fold]
+        else:
+            m, e = np.frexp(flat)
+            m53 = np.round(m * (2.0 ** 53)).astype(np.int64)
+            e0 = e.astype(np.int64) - 53
+            nz = m53 != 0
+            if not nz.any():
+                folds = [0]
+            else:
+                low = m53[nz] & -m53[nz]
+                tz = np.log2(low.astype(np.float64)).astype(np.int64)
+                folds = [max(0, int(-(e0[nz] + tz).min()))]
+        fields = _emi8m_fields(flat, mw_c, folds[0])
+        tried.append((mw_c, folds[0]))
+        if fields is not None:
+            eprime, mhat = fields
+            out = _emi8m_bytes(eprime, mhat, mw_c).reshape(
+                codes.shape)
+            if axis_n != codes.ndim - 1:
+                out = np.moveaxis(out, -1, axis_n)
+            import dataclasses as _dc
+
+            return _dc.replace(
+                inl, codes=jnp.asarray(out), transport="emi8m",
+                transport_mw=mw_c, transport_fold=folds[0])
+    raise ValueError(f"values not exactly emi8m-representable {tried}")
+
+
+def emi8m_rebase(p: "PackedMX", mw: int, fold: int) -> "PackedMX":
+    """Re-encode an emi8m tensor to a common (mw, fold) — used before
+    concatenating fused projections. Exact or raises ValueError."""
+    import numpy as np
+
+    assert p.transport == "emi8m"
+    if mw == p.transport_mw and fold == p.transport_fold:
+        return p
+    c = np.asarray(p.codes).view(np.uint8).astype(np.int64)
+    omw = p.transport_mw
+    mhat = ((c & ((1 << omw) - 1)) ^ (1 << (omw - 1))) - (1 << (omw - 1))
+    eprime = (c >> omw) + (fold - p.transport_fold)
+    # renormalize into the new fields
+    efield_max = (1 << (8 - mw)) - 1
+    j = np.maximum(0, eprime - efield_max)
+    if np.any((mhat != 0) & ((eprime < 0) | (j > 32))):
+        raise ValueError("emi8m rebase infeasible")
+    mhat = np.where(mhat != 0, mhat << np.minimum(j, 32), 0)
+    eprime = np.where(mhat != 0, eprime - j, 0)
+    if np.any((mhat > (1 << (mw - 1)) - 1) | (mhat < -(1 << (mw - 1)))):
+        raise ValueError("emi8m rebase infeasible")
+    import dataclasses as _dc
+
+    return _dc.replace(
+        p, codes=jnp.asarray(_emi8m_bytes(eprime, mhat, mw)
+                             .reshape(c.shape)),
+        transport_mw=mw, transport_fold=fold)
 
 
 def subbyte_params(fmt) -> Tuple[int, int]:
@@ -237,16 +403,22 @@ class PackedMX:
     # "native": container dtype per _CONTAINERS (f8 for sub-byte fp).
     # "emi8":   fp4/fp6 codes as (e'|m̂) int8 bytes — the GEMM transport
     #           (integer decode in-kernel; see emi8_params).
+    # "emi8m":  merged two-level outlier stream (see merge_outlier_emi8):
+    #           per-element (e'|m̂) bytes with tensor-specific field split
+    #           transport_mw and scale fold transport_fold.
     transport: str = flax.struct.field(pytree_node=False, default="native")
+    transport_mw: int = flax.struct.field(pytree_node=False, default=0)
+    transport_fold: int = flax.struct.field(pytree_node=False, default=0)
 
     @property
     def bits_per_element(self) -> float:
-        _, mbits, _, _, _ = get_format_params(self.elem_format)
-        ebits, _, _, _, _ = get_format_params(self.elem_format)
-        elem_bits = {"int8": 8, "int4": 4, "int2": 2, "fp8_e5m2": 8,
-                     "fp8_e4m3": 8, "fp6_e3m2": 6, "fp6_e2m3": 6,
-                     "fp4": 4, "fp4_e2m1": 4, "fp16": 16, "bf16": 16}[
-                         self.elem_format]
+        if self.transport == "emi8m":
+            elem_bits = 8
+        else:
+            elem_bits = {"int8": 8, "int4": 4, "int2": 2, "fp8_e5m2": 8,
+                         "fp8_e4m3": 8, "fp6_e3m2": 6, "fp6_e2m3": 6,
+                         "fp4": 4, "fp4_e2m1": 4, "fp16": 16, "bf16": 16}[
+                             self.elem_format]
         return elem_bits + self.scale_bits / self.block_size
 
 
@@ -371,6 +543,9 @@ def dequantize_mx(p: PackedMX, dtype=jnp.float32) -> jax.Array:
     if p.transport == "emi8":
         vals = _emi8_decode_f32(codes, p.elem_format)
         se = se.astype(jnp.int32) - emi8_fold(p.elem_format)
+    elif p.transport == "emi8m":
+        vals = emi8m_decode_f32(codes, p.transport_mw)
+        se = se.astype(jnp.int32) - p.transport_fold
     else:
         vals = _code_decode(codes, p.elem_format)
     vals = vals.reshape(vals.shape[:-1] + (nb, p.block_size))

@@ -174,7 +174,9 @@ def _sad_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
     else:
         c3 = c2.reshape(tk // block_size, block_size, tn)
         if decode == "emi8":
-            c = c3.astype(jnp.int32)
+            # mask to the raw byte: emi8m exponents may set the top bit,
+            # which an int8 sign-extension would smear over e'
+            c = c3.astype(jnp.int32) & 0xFF
             mhat = lax.shift_right_arithmetic(lax.shift_left(c, 32 - mw),
                                               32 - mw)
             w = lax.shift_left(mhat, c >> mw).astype(jnp.bfloat16)
@@ -196,6 +198,10 @@ def _sad_fold(w: PackedMX) -> Tuple[str, int, int]:
     if w.transport == "emi8":
         mw, _, _ = pk.emi8_params(w.elem_format)
         return "emi8", pk.emi8_fold(w.elem_format), mw
+    if w.transport == "emi8m":
+        # merged outlier stream: same in-kernel decode as emi8, with the
+        # tensor-specific field split chosen by merge_outlier_emi8
+        return "emi8", w.transport_fold, w.transport_mw
     if w.transport in ("sb4", "sb2"):
         return w.transport, _scale_fold(w.elem_format), 0
     return "native", _scale_fold(w.elem_format), 0
@@ -285,7 +291,7 @@ def dequant_matmul(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
     M = 1
     for d in x.shape[:-1]:
         M *= d
-    if M <= 64 and (w.transport == "emi8"
+    if M <= 64 and (w.transport in ("emi8", "emi8m")
                     or w.codes.dtype in (jnp.int8, jnp.bfloat16,
                                          jnp.float16)):
         return dequant_matmul_sad(x, w, out_dtype=out_dtype,

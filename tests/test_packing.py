@@ -171,3 +171,80 @@ def test_subbyte_transport_bitexact():
         b = np.asarray(dequantize_mx(p))
         np.testing.assert_array_equal(a, b)
         assert p.codes.shape == (64 // per, 96)
+
+
+# ---------------------------------------------------------------------------
+# emi8m: two-level outlier format merged into one per-element byte stream
+# ---------------------------------------------------------------------------
+def _outlier_case(seed, K, N, ifmt, ofmt, bs):
+    from microscopiq_tpu.ops.packing import pack_mx_outlier
+
+    rng = np.random.default_rng(seed)
+    W = rng.standard_normal((K, N)).astype(np.float32)
+    W[rng.random((K, N)) < 0.05] *= 12.0
+    return W, pack_mx_outlier(jnp.asarray(W), 8, 8, ifmt, ofmt,
+                              std_dev=2.0, block_size=bs,
+                              outlier_budget=4, axis=0)
+
+
+@pytest.mark.parametrize("ifmt,ofmt,bs", [
+    ("int2", "fp4", 16),          # the paper's canonical config
+    ("int4", "fp6_e3m2", 16),
+    ("fp6_e3m2", "fp6_e3m2", 32),
+])
+def test_merge_outlier_emi8_bitexact(ifmt, ofmt, bs):
+    from microscopiq_tpu.ops.packing import (dequantize_mx,
+                                             dequantize_mx_outlier,
+                                             merge_outlier_emi8)
+
+    _, p = _outlier_case(0, 256, 128, ifmt, ofmt, bs)
+    m = merge_outlier_emi8(p)
+    assert m.transport == "emi8m" and m.codes.dtype == jnp.int8
+    assert_bitexact(dequantize_mx_outlier(p), dequantize_mx(m))
+
+
+def test_emi8m_rebase_exact():
+    from microscopiq_tpu.ops.packing import (dequantize_mx, emi8m_rebase,
+                                             merge_outlier_emi8)
+
+    _, p = _outlier_case(1, 128, 64, "int2", "fp4", 16)
+    m = merge_outlier_emi8(p)
+    m2 = emi8m_rebase(m, m.transport_mw + 1, m.transport_fold + 3)
+    assert_bitexact(dequantize_mx(m), dequantize_mx(m2))
+
+
+def test_emi8m_sad_kernel_matches_outlier_reference():
+    from microscopiq_tpu.ops.packing import merge_outlier_emi8
+    from microscopiq_tpu.ops.pallas.dequant_matmul import (
+        dequant_matmul_outlier_reference, dequant_matmul_sad)
+
+    _, p = _outlier_case(2, 256, 256, "int2", "fp4", 16)
+    m = merge_outlier_emi8(p)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+    y_ref = dequant_matmul_outlier_reference(x, p)
+    y = dequant_matmul_sad(x, m, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=0, atol=2e-6 * float(
+                                   jnp.abs(y_ref).max()))
+
+
+def test_pack_params_outlier_merges_to_emi8m():
+    from microscopiq_tpu.nn.mapping import pack_params
+    from microscopiq_tpu.ops.packing import (PackedMX,
+                                             dequantize_mx,
+                                             dequantize_mx_outlier)
+    from microscopiq_tpu.specs import MxSpecs, finalize_mx_specs
+
+    specs = finalize_mx_specs(MxSpecs(
+        w_elem_format="int2", a_elem_format=None,
+        w_outlier_elem_format="fp4", scale_bits=8, block_size=16))
+    rng = np.random.default_rng(4)
+    params = {"layer": {"kernel": jnp.asarray(
+        rng.standard_normal((64, 32)).astype(np.float32) * 2.0)}}
+    merged = pack_params(params, specs, skip=(), outlier_budget=4)
+    side = pack_params(params, specs, skip=(), outlier_budget=4,
+                       outlier_transport="sideband")
+    mk, sk = merged["layer"]["kernel"], side["layer"]["kernel"]
+    assert isinstance(mk, PackedMX) and mk.transport == "emi8m"
+    assert_bitexact(dequantize_mx(mk), dequantize_mx_outlier(sk))
