@@ -1,0 +1,304 @@
+"""Continuous-batching serving engine (TPU-native).
+
+The reference serves one request per ``model.generate`` call behind a
+semaphore (``vlm/llava/serve/model_worker.py:123-194``); throughput-
+oriented TPU serving instead keeps ONE compiled decode step hot and
+multiplexes requests onto fixed batch slots:
+
+- a slot KV cache with a per-slot length vector (static shapes; the
+  attention mask already derives from per-token ``positions``, so slots
+  at different depths coexist in one batched step);
+- prefill compiles per prompt-length bucket and writes K/V straight into
+  the admitted slot's rows;
+- a host scheduler admits queued requests into free slots between decode
+  steps and retires slots on EOS/max-tokens — requests join and leave
+  the batch WITHOUT stopping decode for the others (continuous
+  batching), the scheduler the BASELINE north-star asks for.
+
+Everything under jit is static-shape: slot count, bucket sizes, and
+cache capacity are fixed at engine build; per-request state lives in
+int32 vectors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Any, Callable, List, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# Slot KV cache: DenseKVState with a per-slot length vector
+# ---------------------------------------------------------------------------
+@flax.struct.dataclass
+class SlotKVState:
+    k: jax.Array            # (L, B, S_max, KVH, hd)
+    v: jax.Array
+    lengths: jax.Array      # (B,) int32 per-slot token count
+
+
+def init_slot_cache(n_layers, n_slots, max_len, kv_heads, head_dim,
+                    dtype=jnp.bfloat16) -> SlotKVState:
+    shape = (n_layers, n_slots, max_len, kv_heads, head_dim)
+    return SlotKVState(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                       jnp.zeros((n_slots,), jnp.int32))
+
+
+class SlotDecodeCache:
+    """Batched decode cache over independent slots.
+
+    Each slot writes at its own ``lengths[b]`` offset (one vmapped
+    dynamic_update_slice = a scatter). The attention mask is purely
+    positional — ``key_pos <= q_pos`` — which both enforces causality and
+    hides any stale rows beyond a slot's length, because a slot's
+    positions always equal its own depth.
+    """
+
+    def __init__(self, state: SlotKVState, active: jax.Array):
+        self.state = state
+        self.active = active                    # (B,) bool
+        self._new_k = state.k
+        self._new_v = state.v
+        self._new_len = state.lengths
+
+    def update(self, layer_idx: int, k, v, positions, mask):
+        st = self.state
+        B, S, KVH, hd = k.shape
+
+        def put(buf, kk, start):                # (S_max, KVH, hd) per slot
+            return lax.dynamic_update_slice(buf, kk, (start, 0, 0))
+
+        kl = jax.vmap(put)(st.k[layer_idx], k.astype(st.k.dtype),
+                           st.lengths)
+        vl = jax.vmap(put)(st.v[layer_idx], v.astype(st.v.dtype),
+                           st.lengths)
+        self._new_k = self._new_k.at[layer_idx].set(kl)
+        self._new_v = self._new_v.at[layer_idx].set(vl)
+        # inactive slots re-write the same row and do not advance
+        self._new_len = jnp.where(self.active, st.lengths + S, st.lengths)
+
+        S_max = st.k.shape[2]
+        key_pos = jnp.arange(S_max)[None, :]
+        m = key_pos[:, None, :] <= positions[..., None]     # (B, S, S_max)
+        return kl, vl, m[:, None, :, :]
+
+    def finalize(self) -> SlotKVState:
+        return SlotKVState(self._new_k, self._new_v, self._new_len)
+
+
+class SlotPrefillCache:
+    """Writes a single sequence's K/V into one slot's rows [0, S)."""
+
+    def __init__(self, state: SlotKVState, slot: jax.Array):
+        self.state = state
+        self.slot = slot
+        self._new_k = state.k
+        self._new_v = state.v
+
+    def update(self, layer_idx: int, k, v, positions, mask):
+        st = self.state
+        B, S, KVH, hd = k.shape             # B == 1
+        self._new_k = lax.dynamic_update_slice(
+            self._new_k, k[None].astype(st.k.dtype),
+            (layer_idx, self.slot, 0, 0, 0))
+        self._new_v = lax.dynamic_update_slice(
+            self._new_v, v[None].astype(st.v.dtype),
+            (layer_idx, self.slot, 0, 0, 0))
+        key_pos = jnp.arange(S)[None, :]
+        m = key_pos[:, None, :] <= positions[..., None]
+        return k, v, m[:, None, :, :]
+
+    def finalize(self, true_len: jax.Array) -> SlotKVState:
+        st = self.state
+        return SlotKVState(
+            self._new_k, self._new_v,
+            st.lengths.at[self.slot].set(true_len))
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class Request:
+    prompt_ids: np.ndarray                  # (S,) int32
+    max_new_tokens: int = 64
+    eos_id: int = -1                        # -1: never stops on a token
+    # called with (new_token:int, done:bool) from the scheduler thread
+    on_token: Optional[Callable[[int, bool], None]] = None
+    # filled by the engine
+    out_tokens: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds largest bucket "
+                     f"{buckets[-1]}")
+
+
+class BatchEngine:
+    """Continuous-batching decode engine over a fixed slot pool.
+
+    One compiled ``decode_step`` serves every step; ``prefill`` compiles
+    once per prompt-length bucket. Greedy sampling (temperature 0) — the
+    eval harness's generation semantics (eval/generate.py).
+    """
+
+    def __init__(self, model, params, n_slots: int = 8,
+                 max_len: int = 512,
+                 prompt_buckets=(32, 64, 128, 256),
+                 cache_dtype=jnp.bfloat16):
+        cfg = model.cfg
+        self.model = model
+        self.params = params
+        self.n_slots = n_slots
+        self.max_len = max_len
+        self.buckets = tuple(sorted(prompt_buckets))
+        self.state = init_slot_cache(
+            cfg.num_hidden_layers, n_slots, max_len,
+            cfg.num_key_value_heads, cfg.head_dim, cache_dtype)
+        # host-side per-slot bookkeeping
+        self.slot_req: List[Optional[Request]] = [None] * n_slots
+        self.tokens = np.zeros((n_slots,), np.int32)
+        self.remaining = np.zeros((n_slots,), np.int32)
+
+        def prefill(params, ids, state, slot, true_len):
+            cache = SlotPrefillCache(state, slot)
+            S = ids.shape[1]
+            pos = jnp.arange(S)[None, :]
+            logits = self.model.apply(params, ids, positions=pos,
+                                      cache=cache)
+            # last REAL token's logits (ids are right-padded to a bucket)
+            last = jnp.take_along_axis(
+                logits, (true_len - 1)[None, None, None].astype(jnp.int32)
+                .repeat(logits.shape[-1], -1), axis=1)[:, 0]
+            tok = jnp.argmax(last, -1).astype(jnp.int32)[0]
+            return tok, cache.finalize(true_len)
+
+        def decode_step(params, toks, state, active):
+            cache = SlotDecodeCache(state, active)
+            pos = state.lengths[:, None]            # (B, 1)
+            logits = self.model.apply(params, toks[:, None],
+                                      positions=pos, cache=cache)
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            return jnp.where(active, nxt, toks), cache.finalize()
+
+        self._prefill = jax.jit(prefill)
+        self._decode = jax.jit(decode_step)
+        self._lock = threading.Lock()
+        self._queue: "queue.Queue[Request]" = queue.Queue()
+
+    # ---- scheduling ----------------------------------------------------
+    def submit(self, req: Request):
+        self._queue.put(req)
+
+    def _admit(self, req: Request, slot: int):
+        ids = np.asarray(req.prompt_ids, np.int32).reshape(-1)
+        S = _bucket(len(ids), self.buckets)
+        if len(ids) + req.max_new_tokens > self.max_len:
+            req.max_new_tokens = self.max_len - len(ids)
+        padded = np.zeros((1, S), np.int32)
+        padded[0, :len(ids)] = ids
+        tok, self.state = self._prefill(
+            self.params, jnp.asarray(padded), self.state,
+            jnp.int32(slot), jnp.int32(len(ids)))
+        t = int(tok)
+        self.slot_req[slot] = req
+        self.tokens[slot] = t
+        self.remaining[slot] = req.max_new_tokens
+        self._emit(req, slot, t)
+
+    def _emit(self, req: Request, slot: int, tok: int):
+        req.out_tokens.append(tok)
+        self.remaining[slot] -= 1
+        if tok == req.eos_id or self.remaining[slot] <= 0:
+            req.done = True
+            self.slot_req[slot] = None
+        if req.on_token is not None:
+            req.on_token(tok, req.done)
+
+    def _active_mask(self) -> np.ndarray:
+        return np.asarray([r is not None for r in self.slot_req])
+
+    def step(self) -> int:
+        """Admit pending requests into free slots, run one decode step.
+        Returns the number of live slots after the step."""
+        with self._lock:
+            for slot in range(self.n_slots):
+                if self.slot_req[slot] is None:
+                    try:
+                        req = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    self._admit(req, slot)
+            active = self._active_mask()
+            if not active.any():
+                return 0
+            toks, self.state = self._decode(
+                self.params, jnp.asarray(self.tokens), self.state,
+                jnp.asarray(active))
+            toks = np.asarray(toks)
+            for slot in range(self.n_slots):
+                req = self.slot_req[slot]
+                if req is not None:
+                    self.tokens[slot] = toks[slot]
+                    self._emit(req, slot, int(toks[slot]))
+            return sum(r is not None for r in self.slot_req)
+
+    def run_until_drained(self, max_steps: int = 100000):
+        """Drive steps until queue and slots are empty (offline batch)."""
+        steps = 0
+        while (not self._queue.empty() or self._active_mask().any()) \
+                and steps < max_steps:
+            self.step()
+            steps += 1
+
+    def generate(self, prompts: List[np.ndarray], max_new_tokens: int = 64,
+                 eos_id: int = -1) -> List[List[int]]:
+        """Batch-generate: submit all, drain, return token lists."""
+        reqs = [Request(np.asarray(p), max_new_tokens, eos_id)
+                for p in prompts]
+        for r in reqs:
+            self.submit(r)
+        self.run_until_drained()
+        return [r.out_tokens for r in reqs]
+
+
+def engine_generate_stream_fn(engine: BatchEngine, tokenizer,
+                              poll_s: float = 0.0):
+    """Adapt a BatchEngine to the worker's generate_stream_fn protocol:
+    tokens stream out as the scheduler produces them, interleaved with
+    other in-flight requests (the worker's semaphore becomes a no-op
+    admission bound)."""
+
+    def fn(prompt: str, max_new_tokens: int, temperature: float):
+        del temperature                       # greedy engine
+        out: "queue.Queue" = queue.Queue()
+        req = Request(np.asarray(tokenizer.encode(prompt), np.int32),
+                      max_new_tokens,
+                      eos_id=getattr(tokenizer, "eos_id", -1),
+                      on_token=lambda t, d: out.put((t, d)))
+        engine.submit(req)
+        toks: List[int] = []
+        while True:
+            engine.step()
+            try:
+                while True:
+                    t, d = out.get_nowait()
+                    toks.append(t)
+                    yield tokenizer.decode(toks)
+                    if d:
+                        return
+            except queue.Empty:
+                pass
+
+    return fn
