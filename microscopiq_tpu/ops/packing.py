@@ -151,9 +151,8 @@ def emi8m_decode_f32(codes: jax.Array, mw: int) -> jax.Array:
     return (mhat << (c >> mw)).astype(jnp.float32)
 
 
-def _emi8m_fields(t: "np.ndarray", mw: int, fold: int):
-    """Exact (e', m̂) int fields for float64 values t·2^fold, or None if the
-    (mw, fold) split cannot represent them exactly."""
+def _pow2_decompose(t: "np.ndarray"):
+    """Exact integer decomposition t = m0 · 2^e0 with m0 odd (0 for 0)."""
     import numpy as np
 
     m, e = np.frexp(t)
@@ -165,7 +164,15 @@ def _emi8m_fields(t: "np.ndarray", mw: int, fold: int):
     tz = np.log2(low.astype(np.float64)).astype(np.int64)
     m0 = np.where(nz, m53 >> tz, 0)
     e0 = np.where(nz, e0 + tz, 0)
+    return m0, e0, nz
 
+
+def _emi8m_fields(decomp, mw: int, fold: int):
+    """Exact (e', m̂) int fields for values m0·2^(e0+fold), or None if the
+    (mw, fold) split cannot represent them exactly."""
+    import numpy as np
+
+    m0, e0, nz = decomp
     g = e0 + fold                                         # required shift
     if np.any(nz & (g < 0)):
         return None                                       # sub-fold values
@@ -236,23 +243,14 @@ def merge_outlier_emi8(p: "PackedMXOutlier", mw: int = 0, fold: int = -1,
     t = t + addv.reshape(t.shape)
 
     flat = t.reshape(-1)
+    decomp = _pow2_decompose(flat)                # once; reused per mw
+    if fold < 0:
+        m0, e0, nz = decomp
+        fold = max(0, int(-e0[nz].min())) if nz.any() else 0
     tried = []
     for mw_c in ([mw] if mw else range(2, 8)):
-        if fold >= 0:
-            folds = [fold]
-        else:
-            m, e = np.frexp(flat)
-            m53 = np.round(m * (2.0 ** 53)).astype(np.int64)
-            e0 = e.astype(np.int64) - 53
-            nz = m53 != 0
-            if not nz.any():
-                folds = [0]
-            else:
-                low = m53[nz] & -m53[nz]
-                tz = np.log2(low.astype(np.float64)).astype(np.int64)
-                folds = [max(0, int(-(e0[nz] + tz).min()))]
-        fields = _emi8m_fields(flat, mw_c, folds[0])
-        tried.append((mw_c, folds[0]))
+        fields = _emi8m_fields(decomp, mw_c, fold)
+        tried.append((mw_c, fold))
         if fields is not None:
             eprime, mhat = fields
             out = _emi8m_bytes(eprime, mhat, mw_c).reshape(
@@ -263,7 +261,7 @@ def merge_outlier_emi8(p: "PackedMXOutlier", mw: int = 0, fold: int = -1,
 
             return _dc.replace(
                 inl, codes=jnp.asarray(out), transport="emi8m",
-                transport_mw=mw_c, transport_fold=folds[0])
+                transport_mw=mw_c, transport_fold=fold)
     raise ValueError(f"values not exactly emi8m-representable {tried}")
 
 

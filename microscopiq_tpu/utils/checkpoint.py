@@ -44,7 +44,10 @@ def save_checkpoint(path: str, tree: Any) -> None:
                 "elem_format": leaf.elem_format,
                 "block_size": leaf.block_size,
                 "scale_bits": leaf.scale_bits,
-                "orig_dim": leaf.orig_dim, "axis": leaf.axis}
+                "orig_dim": leaf.orig_dim, "axis": leaf.axis,
+                "transport": leaf.transport,
+                "transport_mw": leaf.transport_mw,
+                "transport_fold": leaf.transport_fold}
             arrays[f"{i}.codes"] = np.asarray(leaf.codes)
             arrays[f"{i}.scale_exp"] = np.asarray(leaf.scale_exp)
         elif isinstance(leaf, PackedMXOutlier):
@@ -104,7 +107,10 @@ def load_checkpoint(path: str) -> Any:
                 codes=arr(f"{i}.codes"), scale_exp=arr(f"{i}.scale_exp"),
                 elem_format=st["elem_format"], block_size=st["block_size"],
                 scale_bits=st["scale_bits"], orig_dim=st["orig_dim"],
-                axis=st["axis"])
+                axis=st["axis"],
+                transport=st.get("transport", "native"),
+                transport_mw=st.get("transport_mw", 0),
+                transport_fold=st.get("transport_fold", 0))
         elif entry["kind"] == "PackedMXOutlier":
             node[last] = PackedMXOutlier(
                 inlier=PackedMX(

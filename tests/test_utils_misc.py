@@ -114,3 +114,32 @@ def test_delta_checkpoints():
     assert "extra" in merged
     cons = consolidate(merged)
     assert isinstance(cons["b"], np.ndarray)
+
+
+def test_checkpoint_preserves_transport(tmp_path):
+    """Non-native transports (emi8/sb4/emi8m) must survive save/load —
+    transport decides how codes bytes are decoded."""
+    import jax.numpy as jnp
+
+    from microscopiq_tpu.ops.packing import (dequantize_mx,
+                                             merge_outlier_emi8,
+                                             pack_mx, pack_mx_outlier)
+
+    rng = np.random.default_rng(0)
+    W = rng.standard_normal((64, 32)).astype(np.float32)
+    W[rng.random(W.shape) < 0.05] *= 10.0
+    emi8 = pack_mx(jnp.asarray(W), 8, "fp6_e3m2", 32, axis=0,
+                   transport="emi8")
+    emi8m = merge_outlier_emi8(pack_mx_outlier(
+        jnp.asarray(W), 8, 8, "int2", "fp4", std_dev=2.0,
+        block_size=16, outlier_budget=4, axis=0))
+    tree = {"a": {"kernel": emi8}, "b": {"kernel": emi8m}}
+    save_checkpoint(str(tmp_path / "ck2"), tree)
+    back = load_checkpoint(str(tmp_path / "ck2"))
+    for k in ("a", "b"):
+        orig, got = tree[k]["kernel"], back[k]["kernel"]
+        assert got.transport == orig.transport
+        assert got.transport_mw == orig.transport_mw
+        assert got.transport_fold == orig.transport_fold
+        np.testing.assert_array_equal(np.asarray(dequantize_mx(got)),
+                                      np.asarray(dequantize_mx(orig)))
