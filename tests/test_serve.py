@@ -89,3 +89,40 @@ def test_unknown_model(stack):
     ctrl, _ = stack
     addr = _post(ctrl + "/get_worker_address", {"model": "missing"})
     assert addr["address"] == ""
+
+
+# ---------------------------------------------------------------------------
+# Client utilities (serve/cli.py): register / test_message / chat loop
+# ---------------------------------------------------------------------------
+def test_cli_register_and_list(stack):
+    from microscopiq_tpu.serve import cli
+
+    ctrl, workers = stack
+    addr = workers[0].worker.worker_addr
+    assert cli.register_worker(ctrl, addr)["success"] is True
+    assert cli.list_models(ctrl) == ["test-model"]
+    assert cli.get_worker(ctrl, "test-model").startswith("http://")
+
+
+def test_cli_test_message(stack):
+    import io
+
+    from microscopiq_tpu.serve import cli
+
+    ctrl, _ = stack
+    out = io.StringIO()
+    text = cli.test_message(ctrl, message="hi", max_new_tokens=8, out=out)
+    assert text == "hi|tok2"            # fixture streams 3 chunks
+    assert "hi|tok0" in out.getvalue()
+
+
+def test_cli_chat_loop_streams(stack):
+    import io
+
+    from microscopiq_tpu.serve import cli
+
+    ctrl, _ = stack
+    out = io.StringIO()
+    cli.chat_loop(ctrl, model="test-model", max_new_tokens=4,
+                  stdin=io.StringIO("hello\n"), stdout=out)
+    assert "hello|tok2" in out.getvalue()
