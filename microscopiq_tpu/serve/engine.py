@@ -232,6 +232,8 @@ class BatchEngine:
     def step(self) -> int:
         """Admit pending requests into free slots, run one decode step.
         Returns the number of live slots after the step."""
+        from ..utils.observability import metrics
+
         with self._lock:
             for slot in range(self.n_slots):
                 if self.slot_req[slot] is None:
@@ -239,14 +241,20 @@ class BatchEngine:
                         req = self._queue.get_nowait()
                     except queue.Empty:
                         break
-                    self._admit(req, slot)
+                    with metrics.timer("engine.prefill"):
+                        self._admit(req, slot)
+                    metrics.count("engine.admitted")
             active = self._active_mask()
+            metrics.gauge("engine.active_slots", int(active.sum()))
+            metrics.gauge("engine.queued", self._queue.qsize())
             if not active.any():
                 return 0
-            toks, self.state = self._decode(
-                self.params, jnp.asarray(self.tokens), self.state,
-                jnp.asarray(active))
-            toks = np.asarray(toks)
+            with metrics.timer("engine.decode_step"):
+                toks, self.state = self._decode(
+                    self.params, jnp.asarray(self.tokens), self.state,
+                    jnp.asarray(active))
+                toks = np.asarray(toks)
+            metrics.count("engine.tokens", int(active.sum()))
             for slot in range(self.n_slots):
                 req = self.slot_req[slot]
                 if req is not None:

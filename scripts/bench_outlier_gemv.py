@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Decode-regime GEMV benchmark for the two-level outlier format.
+
+Compares, on one real chip, y = x @ W for a fused gate-up-sized weight
+(K=4096, N=14336) in three servings of the SAME quantized tensor:
+
+  dense    — bf16 weights, plain XLA dot (the baseline bench.py uses)
+  sideband — PackedMXOutlier via the dequant-then-dot outlier kernel
+             (in-kernel per-budget-slot scatter; the pre-emi8m path)
+  emi8m    — the merged per-element byte stream via the scale-after-dot
+             GEMV (ops/packing.py merge_outlier_emi8)
+
+Methodology per MEMORY/bench.py: all variants timed interleaved in one
+process (chip clock drifts), min-of-k, work amortized under lax.scan with
+the output summed into the carry so XLA cannot dead-code the columns.
+
+Prints one JSON line per variant.
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+# NOTE: do not launch with PYTHONPATH=<repo> — that breaks the container's
+# axon PJRT plugin registration. Self-locate the package instead.
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from microscopiq_tpu.ops import packing as pk
+    from microscopiq_tpu.ops.pallas.dequant_matmul import (
+        dequant_matmul_outlier, dequant_matmul_sad)
+
+    K, N, M, ITERS = 4096, 14336, 8, 128
+    rng = np.random.default_rng(0)
+    W = (rng.standard_normal((K, N)) * 0.02).astype(np.float32)
+    W[rng.random((K, N)) < 0.03] *= 10.0          # outlier mass
+
+    # pack on host CPU (through the tunnel it would be one dispatch per op)
+    print("packing...", flush=True)
+    t0 = time.perf_counter()
+    with jax.default_device(jax.devices("cpu")[0]):
+        p = pk.pack_mx_outlier(jnp.asarray(W), 8, 8, "int2", "fp4",
+                               std_dev=2.0, block_size=16,
+                               outlier_budget=4, axis=0)
+        jax.block_until_ready(p)
+        print(f"packed {time.perf_counter() - t0:.1f}s", flush=True)
+        m = pk.to_serving_layout(pk.merge_outlier_emi8(p))
+        print(f"merged {time.perf_counter() - t0:.1f}s", flush=True)
+    dev = jax.devices()[0]
+    p, m = jax.device_put((p, m), dev)
+    jax.block_until_ready((p, m))
+    print(f"on device {time.perf_counter() - t0:.1f}s", flush=True)
+    Wb = jax.device_put(jnp.asarray(W, jnp.bfloat16), dev)
+    x0 = jax.device_put(
+        jnp.asarray(rng.standard_normal((M, K)).astype(np.float32)), dev)
+
+    def loop(fn):
+        @jax.jit
+        def run(x):
+            def step(x, _):
+                y = fn(x)
+                # consume every column: defeats DCE, keeps x stable
+                return x + jnp.sum(y, axis=1, keepdims=True) * 1e-30, ()
+            x, _ = lax.scan(step, x, None, length=ITERS)
+            return jnp.sum(x)
+        return run
+
+    variants = {
+        "dense": loop(lambda x: lax.dot_general(
+            x.astype(jnp.bfloat16), Wb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)),
+        "sideband": loop(lambda x: dequant_matmul_outlier(x, p)),
+        "emi8m": loop(lambda x: dequant_matmul_sad(x, m)),
+    }
+    for name, f in variants.items():
+        float(f(x0))                               # compile + warm
+        print(f"warmed {name} {time.perf_counter() - t0:.1f}s", flush=True)
+
+    best = {k: 9e9 for k in variants}
+    for _ in range(6):
+        for k, f in variants.items():
+            t0 = time.perf_counter()
+            float(f(x0))
+            best[k] = min(best[k], time.perf_counter() - t0)
+
+    bytes_per = {"dense": K * N * 2, "sideband": K * N + K * N // 16 * 10,
+                 "emi8m": K * N + K * N // 16}
+    for k, t in best.items():
+        per = t / ITERS
+        print(json.dumps({
+            "metric": f"outlier GEMV {k} (K={K}, N={N}, M={M})",
+            "value": round(per * 1e6, 1), "unit": "us/iter",
+            "vs_baseline": round(best["dense"] / t, 3),
+            "extra": {"GBps": round(bytes_per[k] / per / 1e9, 1),
+                      "backend": jax.default_backend()},
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,3 +89,18 @@ def test_engine_eos_and_stream_callback(tiny_model):
     assert r.out_tokens == ref[:3]
     assert [t for t, _ in seen] == ref[:3]
     assert seen[-1][1] is True and all(not d for _, d in seen[:-1])
+
+
+def test_engine_records_metrics(tiny_model):
+    from microscopiq_tpu.utils.observability import metrics
+
+    model, params, cfg = tiny_model
+    rng = np.random.default_rng(4)
+    before = metrics.counters["engine.tokens"]
+    eng = BatchEngine(model, params, n_slots=2, max_len=64,
+                      prompt_buckets=(8,))
+    eng.generate([rng.integers(0, cfg.vocab_size, (5,)).astype(np.int32)],
+                 max_new_tokens=4)
+    assert metrics.counters["engine.tokens"] - before == 3  # 3 decode steps
+    assert metrics.counters["engine.admitted"] >= 1
+    assert metrics.timers["engine.decode_step"]
