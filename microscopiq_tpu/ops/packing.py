@@ -235,12 +235,17 @@ def merge_outlier_emi8(p: "PackedMXOutlier", mw: int = 0, fold: int = -1,
     # exponent that is oc · 2^(L2 − 2·L1).
     rel = oc.astype(np.float64) * np.exp2((se_out - 2 * se_in)[..., None]
                                           .astype(np.float64))
+    # Scatter outliers into their block rows. Valid positions are unique
+    # within a block (argsort-selected), so a vectorized put_along_axis
+    # suffices; invalid slots land in a dump column. (np.add.at here was
+    # ~20x slower at model scale.)
     valid = pos >= 0
-    addv = np.zeros_like(t).reshape(-1, bs)
-    rows = np.arange(addv.shape[0])[:, None]
-    np.add.at(addv, (rows, np.where(valid, pos, 0).reshape(addv.shape[0], -1)),
-              np.where(valid, rel, 0.0).reshape(addv.shape[0], -1))
-    t = t + addv.reshape(t.shape)
+    nrows = t.size // bs
+    addv = np.zeros((nrows, bs + 1), t.dtype)
+    np.put_along_axis(addv, np.where(valid, pos, bs).reshape(nrows, -1),
+                      np.where(valid, rel, 0.0).reshape(nrows, -1),
+                      axis=-1)
+    t = t + addv[:, :bs].reshape(t.shape)
 
     flat = t.reshape(-1)
     decomp = _pow2_decompose(flat)                # once; reused per mw

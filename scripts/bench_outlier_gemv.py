@@ -38,7 +38,9 @@ def main():
     from microscopiq_tpu.ops.pallas.dequant_matmul import (
         dequant_matmul_outlier, dequant_matmul_sad)
 
-    K, N, M, ITERS = 4096, 14336, 8, 128
+    # K=N=4096 keeps host-side packing fast on this 1-CPU box; the GEMV
+    # is equally DMA-bound at this size (16 MB of codes per iteration)
+    K, N, M, ITERS = 4096, 4096, 8, 128
     rng = np.random.default_rng(0)
     W = (rng.standard_normal((K, N)) * 0.02).astype(np.float32)
     W[rng.random((K, N)) < 0.03] *= 10.0          # outlier mass
