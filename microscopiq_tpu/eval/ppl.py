@@ -46,3 +46,26 @@ def perplexity(apply_fn: Callable, params, test_ids: np.ndarray,
     # reference normalizes by nsamples * seqlen (llama.py:281); we count
     # actual predicted tokens (seqlen - 1 per window)
     return float(np.exp(total / (nsamples * (seqlen - 1))))
+
+
+def main(argv=None):
+    """Thin CLI: `python -m microscopiq_tpu.eval.ppl --model tiny-opt`
+    delegates to the full driver (cli/llm_cli.py). Accepts the model as
+    either `--model X` or a positional; `opt-tiny`/`llama-tiny` aliases
+    normalize to the driver's `tiny-*` names."""
+    import sys
+
+    args = list(sys.argv[1:] if argv is None else argv)
+    if "--model" in args:
+        i = args.index("--model")
+        args = args[:i] + args[i + 1:i + 2] + args[i + 2:]
+    alias = {"opt-tiny": "tiny-opt", "llama-tiny": "tiny-llama"}
+    args = [alias.get(a, a) for a in args]
+
+    from ..cli.llm_cli import main as cli_main
+
+    return cli_main(args)
+
+
+if __name__ == "__main__":
+    main()
