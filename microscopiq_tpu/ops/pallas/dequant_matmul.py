@@ -207,6 +207,142 @@ def _sad_fold(w: PackedMX) -> Tuple[str, int, int]:
     return "native", _scale_fold(w.elem_format), 0
 
 
+def _sad_s8_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
+                   fold: int, decode: str, block_size: int, out_dtype):
+    """W8A8 scale-after-dot: int8 activations x int8 codes on the MXU
+    (s32 accumulate), per-block power-of-two scale applied to the
+    partials. The weight-side int->bf16 convert of the bf16 kernel
+    disappears; per-code VPU work is the partial-scale multiply only
+    (O(TM/B) of the code count)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    c2 = c_ref[:]
+    tk, tn = c2.shape
+    if decode == "sb4":
+        rows = block_size // 2
+        p32 = c2.reshape(tk // rows, rows, tn).astype(jnp.int32)
+        fields = []
+        for i in range(2):
+            f = lax.shift_left(p32 >> (4 * i), 28)
+            fields.append(lax.shift_right_arithmetic(f, 28))
+        w = jnp.concatenate(fields, axis=1).astype(jnp.int8)
+    else:
+        w = c2.reshape(tk // block_size, block_size, tn)
+    part = lax.dot_general(
+        x_ref[:], w, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)            # (nbt, TM, TN) s32
+    sc = _exp2_i32(s_ref[:].astype(jnp.int32) - fold)  # (nbt, TN)
+    acc_ref[:] += jnp.sum(part.astype(jnp.float32) * sc[:, None, :],
+                          axis=0)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def quantize_activations_int8(x: jax.Array):
+    """Per-token symmetric int8 quantization: (codes, scale).
+    x: (..., K) -> int8 codes same shape, f32 scale (..., 1)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    codes = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return codes, scale
+
+
+def dequant_matmul_sad_s8(x: jax.Array, w: PackedMX,
+                          out_dtype=jnp.float32,
+                          interpret: bool = False) -> jax.Array:
+    """y ≈ x @ dequant(w) with int8 activations (W8A8 decode path).
+
+    Integer-exact given the quantized operands: the only approximation is
+    the per-token int8 activation grid. Supports int-format weights
+    (native int8 container or sb4)."""
+    assert w.axis == 0, "fused GEMM expects transposed (K, N) weights"
+    assert w.elem_format in ("int8", "int4", "int2"), \
+        "s8xs8 path needs integer weight codes"
+    B = w.block_size
+    decode, fold, _ = _sad_fold(w)
+    assert decode in ("native", "sb4", "sb2")
+    if decode == "sb2":                       # 4-field unpack not worth it
+        decode = "native"
+        w = pk.PackedMX(
+            codes=pk._subbyte_unpack(pk.from_serving_layout(w).codes.T,
+                                     B, 4, 2).T,
+            scale_exp=pk.from_serving_layout(w).scale_exp,
+            elem_format=w.elem_format, block_size=B,
+            scale_bits=w.scale_bits, orig_dim=w.orig_dim, axis=0)
+    per = 2 if decode == "sb4" else 1
+    lead = x.shape[:-1]
+    ww = pk.from_serving_layout(w)
+    Krows, N = ww.codes.shape
+    Kp = Krows * per
+
+    x2 = x.reshape(-1, x.shape[-1])
+    xq, xscale = quantize_activations_int8(x2)
+    M = x2.shape[0]
+
+    TM = _round_up(max(M, 1), 32)            # int8 native sublane tile
+    TN = 1024 if N >= 1024 else _round_up(N, 128)
+    TK = max(4 * B, 1024)
+    while TK > Kp and TK > B:
+        TK //= 2
+    TK = max(TK, B)
+    while TK // B * TM * TN * 4 > 8 * 1024 * 1024:
+        TK //= 2
+    Mp, Np, Kp2 = _round_up(M, TM), _round_up(N, TN), _round_up(Kp, TK)
+    nbt, NBp = TK // B, Kp2 // B
+
+    xq = jnp.pad(xq, ((0, Mp - M), (0, Kp2 - xq.shape[-1])))
+    xb = xq.reshape(Mp, NBp, B).transpose(1, 0, 2)   # (NBp, Mp, B) int8
+    codes = jnp.pad(ww.codes, ((0, (Kp2 - Kp) // per), (0, Np - N)))
+    se = jnp.pad(ww.scale_exp, ((0, (Kp2 - Kp) // B), (0, Np - N)))
+
+    nk = Kp2 // TK
+    grid = (Mp // TM, Np // TN, nk)
+
+    out = pl.pallas_call(
+        functools.partial(_sad_s8_kernel, nk=nk, fold=fold, decode=decode,
+                          block_size=B, out_dtype=jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nbt, TM, B), lambda i, j, k: (k, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK // per, TN), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TK // B, TN), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp2,
+            bytes_accessed=Mp * Kp2 + Np * Kp2 // per + Mp * Np * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(xb, codes, se)
+    y = out[:M, :N] * xscale
+    return y.astype(out_dtype).reshape(lead + (N,))
+
+
+def dequant_matmul_sad_s8_reference(x: jax.Array, w: PackedMX,
+                                    out_dtype=jnp.float32) -> jax.Array:
+    """Pure-JAX twin: same per-token int8 activation grid, f32 math."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    xq, xscale = quantize_activations_int8(x2)
+    dense = pk.dequantize_mx(w, dtype=jnp.float32)
+    y = (xq.astype(jnp.float32) @ dense) * xscale
+    return y.astype(out_dtype).reshape(lead + (dense.shape[1],))
+
+
 def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
                        interpret: bool = False) -> jax.Array:
     """y = x @ dequant(w), scale-after-dot form. Decode path for small M

@@ -193,3 +193,45 @@ def test_fuse_projections_equivalence():
                                   np.asarray(mF.apply(pqF, ids)))
     # original tree untouched
     assert "q_proj" in p0["params"]["model"]["layers_0"]["self_attn"]
+
+
+# ---------------------------------------------------------------------------
+# W8A8 scale-after-dot (int8 activations x int8 codes on the MXU)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("fmt,transport,bs", [
+    ("int8", "native", 32),
+    ("int4", "sb4", 16),
+    ("int2", "sb2", 16),
+])
+def test_sad_s8_matches_reference(fmt, transport, bs):
+    from microscopiq_tpu.ops.packing import pack_mx
+    from microscopiq_tpu.ops.pallas.dequant_matmul import (
+        dequant_matmul_sad_s8, dequant_matmul_sad_s8_reference)
+
+    rng = np.random.default_rng(0)
+    K, N = 256, 256
+    W = (rng.standard_normal((K, N)) * 0.05).astype(np.float32)
+    p = pack_mx(jnp.asarray(W), 8, fmt, bs, axis=0, transport=transport)
+    x = jnp.asarray(rng.standard_normal((4, K)).astype(np.float32))
+    y_ref = dequant_matmul_sad_s8_reference(x, p)
+    y = dequant_matmul_sad_s8(x, p, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=0,
+        atol=3e-6 * float(jnp.abs(y_ref).max()))
+
+
+def test_sad_s8_activation_grid_error_bounded():
+    """W8A8 vs exact-activation result: error bounded by the int8 grid."""
+    from microscopiq_tpu.ops.packing import pack_mx
+    from microscopiq_tpu.ops.pallas.dequant_matmul import (
+        dequant_matmul_reference, dequant_matmul_sad_s8_reference)
+
+    rng = np.random.default_rng(1)
+    K, N = 512, 128
+    W = (rng.standard_normal((K, N)) * 0.05).astype(np.float32)
+    p = pack_mx(jnp.asarray(W), 8, "int8", 32, axis=0)
+    x = jnp.asarray(rng.standard_normal((2, K)).astype(np.float32))
+    y8 = dequant_matmul_sad_s8_reference(x, p)
+    yx = dequant_matmul_reference(x, p)
+    rel = float(jnp.abs(y8 - yx).max() / jnp.abs(yx).max())
+    assert rel < 0.02, rel
