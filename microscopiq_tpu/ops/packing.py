@@ -356,13 +356,17 @@ def to_serving_layout(p: "PackedMX") -> "PackedMX":
     if p.codes.ndim == 3:
         return p
     assert p.axis == 0 and p.codes.ndim == 2
+    # sub-byte transports store `per` codes per byte: a block spans
+    # block_size // per rows of the packed array
+    per = {"sb4": 2, "sb2": 4}.get(p.transport, 1)
+    rows = p.block_size // per
     K, N = p.codes.shape
-    nb = K // p.block_size
+    nb = K // rows
     import dataclasses as _dc
 
     return _dc.replace(
         p,
-        codes=jnp.asarray(p.codes).reshape(nb, p.block_size, N),
+        codes=jnp.asarray(p.codes).reshape(nb, rows, N),
         scale_exp=jnp.asarray(p.scale_exp).reshape(nb, 1, N))
 
 

@@ -248,3 +248,22 @@ def test_pack_params_outlier_merges_to_emi8m():
     mk, sk = merged["layer"]["kernel"], side["layer"]["kernel"]
     assert isinstance(mk, PackedMX) and mk.transport == "emi8m"
     assert_bitexact(dequantize_mx(mk), dequantize_mx_outlier(sk))
+
+
+def test_serving_layout_roundtrip_subbyte():
+    from microscopiq_tpu.ops.packing import (dequantize_mx,
+                                             from_serving_layout, pack_mx,
+                                             to_serving_layout)
+
+    rng = np.random.default_rng(5)
+    W = rng.standard_normal((64, 32)).astype(np.float32)
+    for fmt, tr, bs in (("int4", "sb4", 16), ("int2", "sb2", 16),
+                        ("int8", "native", 32)):
+        p = pack_mx(jnp.asarray(W), 8, fmt, bs, axis=0, transport=tr)
+        s = to_serving_layout(p)
+        assert s.codes.ndim == 3
+        back = from_serving_layout(s)
+        np.testing.assert_array_equal(np.asarray(back.codes),
+                                      np.asarray(p.codes))
+        np.testing.assert_array_equal(np.asarray(dequantize_mx(back)),
+                                      np.asarray(dequantize_mx(p)))
