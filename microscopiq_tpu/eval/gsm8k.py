@@ -110,3 +110,23 @@ def evaluate_gsm8k(generate_fn: Callable[[List[str]], List[str]],
             for rec in records:
                 f.write(json.dumps(rec) + "\n")
     return result
+
+
+def engine_generate_fn(engine, tokenizer, max_new_tokens: int = 256,
+                       eos_id: int = -1):
+    """Build a generate_fn backed by the continuous-batching engine.
+
+    Handles ragged prompt lengths natively (each prompt gets its own
+    slot/bucket), unlike the equal-length-batch decode loop
+    (eval/generate.py) — the throughput path for CoT evals where prompt
+    lengths vary by hundreds of tokens.
+    """
+    import numpy as np
+
+    def fn(prompts):
+        ids = [np.asarray(tokenizer.encode(p), np.int32) for p in prompts]
+        outs = engine.generate(ids, max_new_tokens=max_new_tokens,
+                               eos_id=eos_id)
+        return [tokenizer.decode(t) for t in outs]
+
+    return fn

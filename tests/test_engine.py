@@ -104,3 +104,30 @@ def test_engine_records_metrics(tiny_model):
     assert metrics.counters["engine.tokens"] - before == 3  # 3 decode steps
     assert metrics.counters["engine.admitted"] >= 1
     assert metrics.timers["engine.decode_step"]
+
+
+def test_engine_backed_gsm8k_eval(tiny_model, tmp_path):
+    """The CoT harness runs over the continuous-batching engine with
+    ragged prompts and produces the same generations as per-sequence
+    decoding."""
+    from microscopiq_tpu.eval.gsm8k import engine_generate_fn
+
+    model, params, cfg = tiny_model
+
+    class Tok:
+        def encode(self, s):
+            return [7 + (ord(c) % 100) for c in s][:12]
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    eng = BatchEngine(model, params, n_slots=2, max_len=64,
+                      prompt_buckets=(16,))
+    fn = engine_generate_fn(eng, Tok(), max_new_tokens=4)
+    prompts = ["what is 2+2", "a much longer question"]
+    outs = fn(prompts)
+    assert len(outs) == 2 and all(len(o.split()) == 4 for o in outs)
+    for p, o in zip(prompts, outs):
+        ref = _reference(model, params,
+                         np.asarray(Tok().encode(p), np.int32), 4)
+        assert o == " ".join(map(str, ref))
