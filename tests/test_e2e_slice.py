@@ -78,3 +78,40 @@ def test_gptq_beats_rtn_at_low_bits(setup):
     ppl_fp = perplexity(apply_fn, params, test_ids, seqlen=32, batch=8)
     assert ppl_gptq < ppl_rtn, (ppl_gptq, ppl_rtn)
     assert ppl_gptq < ppl_fp * 3  # int2 is aggressive but not catastrophic
+
+
+def test_gptq_to_packed_serving_ppl(setup):
+    """SURVEY §7 step 6, serving leg: GPTQ-calibrated weights packed into
+    the emi8m transport (real packed storage, no fake-quant) must give
+    the same perplexity as the fake-quant tree they came from."""
+    from microscopiq_tpu.nn import pack_params
+    from microscopiq_tpu.ops.packing import PackedMX
+
+    cfg, model, params, calib, test_ids, apply_fn = setup
+    qz = MXQuantizer()
+    qz.configure(8, 8, "int2", "fp4_e2m1", std_dev=2, axes=[0],
+                 block_size=16)
+    gptq_params = gptq_quantize_model("opt", cfg, params, calib,
+                                      quantizer=qz, blocksize=32,
+                                      verbose=False)
+    ppl_fake = perplexity(apply_fn, gptq_params, test_ids, seqlen=32,
+                          batch=8)
+
+    specs = finalize_mx_specs({
+        "w_elem_format": "int2", "w_outlier_elem_format": "fp4_e2m1",
+        "scale_bits": 8, "block_size": 16, "bfloat": 16})
+    packed = pack_params(gptq_params["params"], specs,
+                         skip=("embed_tokens", "embed_positions",
+                               "lm_head"),
+                         outlier_budget=4)
+    kinds = {type(l).__name__
+             for l in jax.tree_util.tree_leaves(
+                 packed, is_leaf=lambda x: isinstance(x, PackedMX))
+             if isinstance(l, PackedMX)}
+    assert kinds == {"PackedMX"}          # emi8m merge applied everywhere
+    ppl_packed = perplexity(apply_fn, {"params": packed}, test_ids,
+                            seqlen=32, batch=8)
+    # packing re-fits block scales on the already-on-grid weights: small
+    # drift allowed, catastrophic drift caught
+    assert abs(ppl_packed - ppl_fake) < 0.05 * ppl_fake, \
+        (ppl_packed, ppl_fake)
