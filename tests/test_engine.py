@@ -131,3 +131,34 @@ def test_engine_backed_gsm8k_eval(tiny_model, tmp_path):
         ref = _reference(model, params,
                          np.asarray(Tok().encode(p), np.int32), 4)
         assert o == " ".join(map(str, ref))
+
+
+def test_engine_with_model_sharded_params(tiny_model):
+    """Continuous batching over a model-parallel mesh: engine params
+    sharded on the (data, model) mesh produce the same tokens as the
+    unsharded engine (jit partitions the decode step; no engine code is
+    sharding-aware)."""
+    from microscopiq_tpu.nn.mapping import pack_params
+    from microscopiq_tpu.parallel import make_mesh, shard_params
+    from microscopiq_tpu.specs import finalize_mx_specs
+
+    model, params, cfg = tiny_model
+    # block 8 keeps the tiny model's (K/B, N) scale rows divisible by
+    # the 4-way model axis
+    specs = finalize_mx_specs({"w_elem_format": "fp6_e3m2",
+                               "scale_bits": 8, "block_size": 8})
+    pq = {"params": pack_params(params["params"], specs, skip=())}
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, cfg.vocab_size, (s,)).astype(np.int32)
+               for s in (5, 9)]
+
+    eng0 = BatchEngine(model, pq, n_slots=2, max_len=64,
+                       prompt_buckets=(16,))
+    ref = eng0.generate(prompts, max_new_tokens=4)
+
+    mesh = make_mesh(8, data=2, model=4)
+    p_sh = {"params": shard_params(pq["params"], mesh)}
+    eng = BatchEngine(model, p_sh, n_slots=2, max_len=64,
+                      prompt_buckets=(16,))
+    got = eng.generate(prompts, max_new_tokens=4)
+    assert got == ref
