@@ -130,6 +130,7 @@ class Request:
     prompt_ids: np.ndarray                  # (S,) int32
     max_new_tokens: int = 64
     eos_id: int = -1                        # -1: never stops on a token
+    temperature: float = 0.0                # 0 = greedy
     # called with (new_token:int, done:bool) from the scheduler thread
     on_token: Optional[Callable[[int, bool], None]] = None
     # filled by the engine
@@ -149,14 +150,15 @@ class BatchEngine:
     """Continuous-batching decode engine over a fixed slot pool.
 
     One compiled ``decode_step`` serves every step; ``prefill`` compiles
-    once per prompt-length bucket. Greedy sampling (temperature 0) — the
-    eval harness's generation semantics (eval/generate.py).
+    once per prompt-length bucket. Per-request temperature: 0 = greedy
+    (the eval harness's semantics, eval/generate.py), >0 = categorical
+    sampling with a per-step folded key.
     """
 
     def __init__(self, model, params, n_slots: int = 8,
                  max_len: int = 512,
                  prompt_buckets=(32, 64, 128, 256),
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16, seed: int = 0):
         cfg = model.cfg
         self.model = model
         self.params = params
@@ -170,8 +172,19 @@ class BatchEngine:
         self.slot_req: List[Optional[Request]] = [None] * n_slots
         self.tokens = np.zeros((n_slots,), np.int32)
         self.remaining = np.zeros((n_slots,), np.int32)
+        self.temps = np.zeros((n_slots,), np.float32)
+        self._base_key = jax.random.PRNGKey(seed)
+        self._step_no = 0
 
-        def prefill(params, ids, state, slot, true_len):
+        def sample(logits, temps, key):
+            # per-slot temperature: 0 = greedy, else categorical
+            greedy = jnp.argmax(logits, -1).astype(jnp.int32)
+            scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+            drawn = jax.random.categorical(key, scaled, -1
+                                           ).astype(jnp.int32)
+            return jnp.where(temps > 0, drawn, greedy)
+
+        def prefill(params, ids, state, slot, true_len, temp, key):
             cache = SlotPrefillCache(state, slot)
             S = ids.shape[1]
             pos = jnp.arange(S)[None, :]
@@ -181,21 +194,25 @@ class BatchEngine:
             last = jnp.take_along_axis(
                 logits, (true_len - 1)[None, None, None].astype(jnp.int32)
                 .repeat(logits.shape[-1], -1), axis=1)[:, 0]
-            tok = jnp.argmax(last, -1).astype(jnp.int32)[0]
+            tok = sample(last, temp[None], key)[0]
             return tok, cache.finalize(true_len)
 
-        def decode_step(params, toks, state, active):
+        def decode_step(params, toks, state, active, temps, key):
             cache = SlotDecodeCache(state, active)
             pos = state.lengths[:, None]            # (B, 1)
             logits = self.model.apply(params, toks[:, None],
                                       positions=pos, cache=cache)
-            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            nxt = sample(logits[:, -1], temps, key)
             return jnp.where(active, nxt, toks), cache.finalize()
 
         self._prefill = jax.jit(prefill)
         self._decode = jax.jit(decode_step)
         self._lock = threading.Lock()
         self._queue: "queue.Queue[Request]" = queue.Queue()
+
+    def _next_key(self):
+        self._step_no += 1
+        return jax.random.fold_in(self._base_key, self._step_no)
 
     # ---- scheduling ----------------------------------------------------
     def submit(self, req: Request):
@@ -210,11 +227,13 @@ class BatchEngine:
         padded[0, :len(ids)] = ids
         tok, self.state = self._prefill(
             self.params, jnp.asarray(padded), self.state,
-            jnp.int32(slot), jnp.int32(len(ids)))
+            jnp.int32(slot), jnp.int32(len(ids)),
+            jnp.float32(req.temperature), self._next_key())
         t = int(tok)
         self.slot_req[slot] = req
         self.tokens[slot] = t
         self.remaining[slot] = req.max_new_tokens
+        self.temps[slot] = req.temperature
         self._emit(req, slot, t)
 
     def _emit(self, req: Request, slot: int, tok: int):
@@ -252,7 +271,8 @@ class BatchEngine:
             with metrics.timer("engine.decode_step"):
                 toks, self.state = self._decode(
                     self.params, jnp.asarray(self.tokens), self.state,
-                    jnp.asarray(active))
+                    jnp.asarray(active), jnp.asarray(self.temps),
+                    self._next_key())
                 toks = np.asarray(toks)
             metrics.count("engine.tokens", int(active.sum()))
             for slot in range(self.n_slots):
@@ -271,9 +291,11 @@ class BatchEngine:
             steps += 1
 
     def generate(self, prompts: List[np.ndarray], max_new_tokens: int = 64,
-                 eos_id: int = -1) -> List[List[int]]:
+                 eos_id: int = -1,
+                 temperature: float = 0.0) -> List[List[int]]:
         """Batch-generate: submit all, drain, return token lists."""
-        reqs = [Request(np.asarray(p), max_new_tokens, eos_id)
+        reqs = [Request(np.asarray(p), max_new_tokens, eos_id,
+                        temperature=temperature)
                 for p in prompts]
         for r in reqs:
             self.submit(r)
@@ -289,11 +311,11 @@ def engine_generate_stream_fn(engine: BatchEngine, tokenizer,
     admission bound)."""
 
     def fn(prompt: str, max_new_tokens: int, temperature: float):
-        del temperature                       # greedy engine
         out: "queue.Queue" = queue.Queue()
         req = Request(np.asarray(tokenizer.encode(prompt), np.int32),
                       max_new_tokens,
                       eos_id=getattr(tokenizer, "eos_id", -1),
+                      temperature=temperature,
                       on_token=lambda t, d: out.put((t, d)))
         engine.submit(req)
         toks: List[int] = []

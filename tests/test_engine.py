@@ -162,3 +162,20 @@ def test_engine_with_model_sharded_params(tiny_model):
                       prompt_buckets=(16,))
     got = eng.generate(prompts, max_new_tokens=4)
     assert got == ref
+
+
+def test_engine_temperature_sampling(tiny_model):
+    model, params, cfg = tiny_model
+    rng = np.random.default_rng(6)
+    p = [rng.integers(0, cfg.vocab_size, (6,)).astype(np.int32)]
+
+    def run(seed, temp):
+        eng = BatchEngine(model, params, n_slots=1, max_len=64,
+                          prompt_buckets=(8,), seed=seed)
+        return eng.generate(p, max_new_tokens=12, temperature=temp)[0]
+
+    greedy = run(0, 0.0)
+    assert greedy == _reference(model, params, p[0], 12)  # temp 0 parity
+    s0, s0b, s1 = run(0, 5.0), run(0, 5.0), run(1, 5.0)
+    assert s0 == s0b                    # reproducible per seed
+    assert s0 != greedy and s0 != s1    # high temp actually samples
