@@ -335,3 +335,201 @@ class QuantizedDecodeCache:
         bytes_q = (cfg.bits / 8) * feat + \
             8 * feat / cfg.gap + 8 * feat / cfg.v_group
         return (2.0 * feat) / bytes_q
+
+
+# ---------------------------------------------------------------------------
+# Slot-pooled quantized cache (continuous batching x KIVI storage)
+# ---------------------------------------------------------------------------
+def init_slot_quant_cache(n_layers, n_slots, max_len, kv_heads, head_dim,
+                          cfg: QuantKVConfig = QuantKVConfig()
+                          ) -> QuantKVState:
+    """QuantKVState with a PER-SLOT length vector: each batch slot is an
+    independent sequence at its own depth (the continuous-batching
+    engine's cache). Shapes are identical to init_quant_cache except
+    ``length`` is (n_slots,)."""
+    st = init_quant_cache(n_layers, n_slots, max_len, kv_heads, head_dim,
+                          cfg)
+    return dataclasses.replace(
+        st, length=jnp.zeros((n_slots,), jnp.int32))
+
+
+class SlotQuantizedDecodeCache:
+    """Per-slot quantized decode cache (single-token steps).
+
+    Mirrors QuantizedDecodeCache's every-step-quantize/predicated-write
+    refold, with per-slot write rows and chunk indices expressed as ONE
+    XLA scatter per buffer (advanced-index .at[] with a (B,) index
+    vector) — no whole-layer read-modify-write, no lax.cond over big
+    buffers (the two patterns that copy the entire cache per step).
+    """
+
+    def __init__(self, state: QuantKVState, cfg: QuantKVConfig,
+                 active: jax.Array):
+        self.state = state
+        self.cfg = cfg
+        self.active = active                 # (B,) bool
+        self._upd = {f: getattr(state, f) for f in
+                     ("kq", "vq", "k_mn", "k_sc", "v_mn", "v_sc",
+                      "res_k", "res_v")}
+        self._new_len = state.length
+
+    def update(self, layer_idx: int, k, v, positions, mask):
+        st, cfg = self.state, self.cfg
+        B, S, KVH, hd = k.shape
+        assert S == 1, "slot cache is decode-only; prefill via " \
+                       "slot_quant_prefill_writer"
+        gap = cfg.gap
+        li = layer_idx
+        lengths = st.length                          # (B,)
+        b_idx = jnp.arange(B)
+
+        # residual write at each slot's own row
+        row = lengths % gap
+        self._upd["res_k"] = self._upd["res_k"].at[li, b_idx, row].set(
+            k[:, 0].astype(st.res_k.dtype))
+        self._upd["res_v"] = self._upd["res_v"].at[li, b_idx, row].set(
+            v[:, 0].astype(st.res_v.dtype))
+
+        new_len = jnp.where(self.active, lengths + 1, lengths)
+        self._new_len = new_len
+        ready = self.active & ((lengths + 1) % gap == 0)
+        cidx = jnp.maximum((lengths + 1) // gap - 1, 0)
+
+        # quantize every slot's residual window every step; land it only
+        # on slots whose window just filled
+        rk = self._upd["res_k"][li].transpose(0, 2, 1, 3)[:, :, None]
+        rv = self._upd["res_v"][li].transpose(0, 2, 1, 3)[:, :, None]
+        kcq, kcmn, kcsc = _quant_chunk_k(rk.astype(jnp.float32), cfg.bits)
+        vcq, vcmn, vcsc = _quant_chunk_v(rv.astype(jnp.float32),
+                                         cfg.bits, cfg.v_group)
+
+        def wr(name, val):
+            buf = self._upd[name]
+            val = val[:, :, 0]                   # (B, KVH, ...chunk dims)
+            cur = buf[li, b_idx, :, cidx]        # gather (B, KVH, ...)
+            sel = jnp.where(
+                ready.reshape((B,) + (1,) * (val.ndim - 1)),
+                val.astype(buf.dtype), cur)
+            self._upd[name] = buf.at[li, b_idx, :, cidx].set(sel)
+
+        wr("kq", kcq)
+        wr("k_mn", kcmn)
+        wr("k_sc", kcsc)
+        wr("vq", vcq)
+        wr("v_mn", vcmn)
+        wr("v_sc", vcsc)
+
+        # assemble dequantized chunks ++ residual, masked per slot
+        kq = self._upd["kq"][li]
+        vq = self._upd["vq"][li]
+        C = kq.shape[2]
+        k_chunks = _dequant_k(kq, self._upd["k_mn"][li],
+                              self._upd["k_sc"][li], k.dtype)
+        v_chunks = _dequant_v(vq, self._upd["v_mn"][li],
+                              self._upd["v_sc"][li], cfg.v_group, k.dtype)
+        k_chunks = k_chunks.reshape(B, KVH, C * gap, hd).transpose(
+            0, 2, 1, 3)
+        v_chunks = v_chunks.reshape(B, KVH, C * gap, hd).transpose(
+            0, 2, 1, 3)
+        k_all = jnp.concatenate(
+            [k_chunks, self._upd["res_k"][li].astype(k.dtype)], 1)
+        v_all = jnp.concatenate(
+            [v_chunks, self._upd["res_v"][li].astype(k.dtype)], 1)
+
+        nfull = lengths // gap                       # (B,) BEFORE this tok
+        res_len = (lengths % gap) + 1                # incl. just-written
+        chunk_pos = jnp.arange(C * gap)[None, :]     # (1, C*gap)
+        chunk_valid = chunk_pos < (nfull * gap)[:, None]
+        res_pos = (nfull * gap)[:, None] + jnp.arange(gap)[None, :]
+        res_valid = jnp.arange(gap)[None, :] < res_len[:, None]
+        key_pos = jnp.concatenate([chunk_pos.repeat(B, 0), res_pos], 1)
+        key_valid = jnp.concatenate([chunk_valid, res_valid], 1)
+
+        q_pos = positions                            # (B, 1)
+        m = (key_pos[:, None, :] <= q_pos[..., None]) & \
+            key_valid[:, None, :]
+        return k_all, v_all, m[:, None, :, :]
+
+    def finalize(self) -> QuantKVState:
+        return QuantKVState(length=self._new_len, **self._upd)
+
+
+class SlotQuantPrefillCache:
+    """Writes one sequence's prompt K/V into slot ``slot``: full chunks
+    quantized (predicated on true_len), tail into the residual window."""
+
+    def __init__(self, state: QuantKVState, cfg: QuantKVConfig,
+                 slot: jax.Array, true_len: jax.Array):
+        self.state = state
+        self.cfg = cfg
+        self.slot = slot
+        self.true_len = true_len
+        self._upd = {f: getattr(state, f) for f in
+                     ("kq", "vq", "k_mn", "k_sc", "v_mn", "v_sc",
+                      "res_k", "res_v")}
+
+    def update(self, layer_idx: int, k, v, positions, mask):
+        st, cfg = self.state, self.cfg
+        B, S, KVH, hd = k.shape              # B == 1
+        gap = cfg.gap
+        li = layer_idx
+        nch = S // gap
+        nfull = self.true_len // gap         # traced: chunks really full
+
+        if nch > 0:
+            kc = k[0, :nch * gap].reshape(nch, gap, KVH, hd
+                                          ).transpose(2, 0, 1, 3)[None]
+            vc = v[0, :nch * gap].reshape(nch, gap, KVH, hd
+                                          ).transpose(2, 0, 1, 3)[None]
+            kcq, kcmn, kcsc = _quant_chunk_k(kc.astype(jnp.float32),
+                                             cfg.bits)
+            vcq, vcmn, vcsc = _quant_chunk_v(vc.astype(jnp.float32),
+                                             cfg.bits, cfg.v_group)
+            cvalid = jnp.arange(nch) < nfull
+
+            def wr(name, val):
+                buf = self._upd[name]
+                val = val[0]                     # (KVH, nch, ...)
+                c_idx = jnp.arange(nch)
+                cur = buf[li, self.slot, :, c_idx]   # (nch, KVH, ...)
+                sel = jnp.where(
+                    cvalid.reshape((nch,) + (1,) * (cur.ndim - 1)),
+                    jnp.moveaxis(val, 0, 1).astype(buf.dtype), cur)
+                self._upd[name] = buf.at[li, self.slot, :, c_idx].set(sel)
+
+            wr("kq", kcq)
+            wr("k_mn", kcmn)
+            wr("k_sc", kcsc)
+            wr("vq", vcq)
+            wr("v_mn", vcmn)
+            wr("v_sc", vcsc)
+
+        # tail -> residual rows [0, true_len % gap); grab a gap-sized
+        # window starting at nfull*gap (pad so the slice stays in range)
+        kp = jnp.pad(k[0], ((0, gap), (0, 0), (0, 0)))
+        vp = jnp.pad(v[0], ((0, gap), (0, 0), (0, 0)))
+        tail_k = jax.lax.dynamic_slice(
+            kp, (nfull * gap, 0, 0), (gap, KVH, hd))
+        tail_v = jax.lax.dynamic_slice(
+            vp, (nfull * gap, 0, 0), (gap, KVH, hd))
+        self._upd["res_k"] = jax.lax.dynamic_update_slice(
+            self._upd["res_k"],
+            tail_k[None, None].astype(st.res_k.dtype), (li, self.slot,
+                                                        0, 0, 0))
+        self._upd["res_v"] = jax.lax.dynamic_update_slice(
+            self._upd["res_v"],
+            tail_v[None, None].astype(st.res_v.dtype), (li, self.slot,
+                                                        0, 0, 0))
+
+        # prompt attention runs over the raw (pre-quantization) K/V —
+        # same as the reference's prefill (quantization applies to the
+        # CACHE, the current window attends exactly)
+        key_pos = jnp.arange(S)[None, :]
+        m = key_pos[:, None, :] <= positions[..., None]
+        return k, v, m[:, None, :, :]
+
+    def finalize(self, true_len=None) -> QuantKVState:
+        tl = self.true_len if true_len is None else true_len
+        return QuantKVState(
+            length=self.state.length.at[self.slot].set(tl),
+            **self._upd)

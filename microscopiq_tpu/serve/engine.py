@@ -158,16 +158,35 @@ class BatchEngine:
     def __init__(self, model, params, n_slots: int = 8,
                  max_len: int = 512,
                  prompt_buckets=(32, 64, 128, 256),
-                 cache_dtype=jnp.bfloat16, seed: int = 0):
+                 cache_dtype=jnp.bfloat16, seed: int = 0,
+                 cache_kind: str = "dense", quant_cfg=None):
+        from ..kv.cache import (QuantKVConfig, SlotQuantizedDecodeCache,
+                                SlotQuantPrefillCache,
+                                init_slot_quant_cache)
+
         cfg = model.cfg
         self.model = model
         self.params = params
         self.n_slots = n_slots
         self.max_len = max_len
         self.buckets = tuple(sorted(prompt_buckets))
-        self.state = init_slot_cache(
-            cfg.num_hidden_layers, n_slots, max_len,
-            cfg.num_key_value_heads, cfg.head_dim, cache_dtype)
+        self.cache_kind = cache_kind
+        if cache_kind == "quant":
+            qcfg = quant_cfg or QuantKVConfig()
+            assert max_len % qcfg.gap == 0
+            self.state = init_slot_quant_cache(
+                cfg.num_hidden_layers, n_slots, max_len,
+                cfg.num_key_value_heads, cfg.head_dim, qcfg)
+            mk_prefill = lambda st, slot, tl: SlotQuantPrefillCache(
+                st, qcfg, slot, tl)
+            mk_decode = lambda st, act: SlotQuantizedDecodeCache(
+                st, qcfg, act)
+        else:
+            self.state = init_slot_cache(
+                cfg.num_hidden_layers, n_slots, max_len,
+                cfg.num_key_value_heads, cfg.head_dim, cache_dtype)
+            mk_prefill = lambda st, slot, tl: SlotPrefillCache(st, slot)
+            mk_decode = lambda st, act: SlotDecodeCache(st, act)
         # host-side per-slot bookkeeping
         self.slot_req: List[Optional[Request]] = [None] * n_slots
         self.tokens = np.zeros((n_slots,), np.int32)
@@ -184,8 +203,12 @@ class BatchEngine:
                                            ).astype(jnp.int32)
             return jnp.where(temps > 0, drawn, greedy)
 
+        def lengths_of(state):
+            return state.lengths if hasattr(state, "lengths") \
+                else state.length
+
         def prefill(params, ids, state, slot, true_len, temp, key):
-            cache = SlotPrefillCache(state, slot)
+            cache = mk_prefill(state, slot, true_len)
             S = ids.shape[1]
             pos = jnp.arange(S)[None, :]
             logits = self.model.apply(params, ids, positions=pos,
@@ -198,8 +221,8 @@ class BatchEngine:
             return tok, cache.finalize(true_len)
 
         def decode_step(params, toks, state, active, temps, key):
-            cache = SlotDecodeCache(state, active)
-            pos = state.lengths[:, None]            # (B, 1)
+            cache = mk_decode(state, active)
+            pos = lengths_of(state)[:, None]        # (B, 1)
             logits = self.model.apply(params, toks[:, None],
                                       positions=pos, cache=cache)
             nxt = sample(logits[:, -1], temps, key)

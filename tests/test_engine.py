@@ -179,3 +179,44 @@ def test_engine_temperature_sampling(tiny_model):
     s0, s0b, s1 = run(0, 5.0), run(0, 5.0), run(1, 5.0)
     assert s0 == s0b                    # reproducible per seed
     assert s0 != greedy and s0 != s1    # high temp actually samples
+
+
+def test_engine_quantized_kv_matches_single_sequence(tiny_model):
+    """Continuous batching over the per-slot QUANTIZED KV cache: each
+    request's tokens equal its single-sequence run through the scalar
+    quantized cache (same chunk boundaries, same refold schedule)."""
+    from microscopiq_tpu.kv.cache import QuantKVConfig
+
+    model, params, cfg = tiny_model
+    qcfg = QuantKVConfig(bits=4, gap=8, v_group=8)
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, cfg.vocab_size, (s,)).astype(np.int32)
+               for s in (5, 11, 19)]          # tail-only / 1 chunk+tail
+    eng = BatchEngine(model, params, n_slots=4, max_len=64,
+                      prompt_buckets=(8, 24), cache_kind="quant",
+                      quant_cfg=qcfg)
+    outs = eng.generate(prompts, max_new_tokens=14)  # crosses refolds
+    for p, got in zip(prompts, outs):
+        ref = generate(model, params, np.asarray(p, np.int32)[None], 14,
+                       cache_kind="quant", quant_cfg=qcfg,
+                       max_len=64)[0].tolist()
+        assert got == ref, (got, ref)
+
+
+def test_engine_quantized_kv_slot_reuse(tiny_model):
+    from microscopiq_tpu.kv.cache import QuantKVConfig
+
+    model, params, cfg = tiny_model
+    qcfg = QuantKVConfig(bits=4, gap=8, v_group=8)
+    rng = np.random.default_rng(8)
+    prompts = [rng.integers(0, cfg.vocab_size, (s,)).astype(np.int32)
+               for s in (4, 9, 6, 12)]
+    eng = BatchEngine(model, params, n_slots=2, max_len=64,
+                      prompt_buckets=(16,), cache_kind="quant",
+                      quant_cfg=qcfg)
+    outs = eng.generate(prompts, max_new_tokens=10)
+    for p, got in zip(prompts, outs):
+        ref = generate(model, params, np.asarray(p, np.int32)[None], 10,
+                       cache_kind="quant", quant_cfg=qcfg,
+                       max_len=64)[0].tolist()
+        assert got == ref, (got, ref)
