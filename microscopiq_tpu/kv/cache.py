@@ -373,11 +373,11 @@ class SlotQuantizedDecodeCache:
                       "res_k", "res_v")}
         self._new_len = state.length
 
-    def update(self, layer_idx: int, k, v, positions, mask):
+    def _ingest(self, layer_idx: int, k, v):
         st, cfg = self.state, self.cfg
         B, S, KVH, hd = k.shape
         assert S == 1, "slot cache is decode-only; prefill via " \
-                       "slot_quant_prefill_writer"
+                       "SlotQuantPrefillCache"
         gap = cfg.gap
         li = layer_idx
         lengths = st.length                          # (B,)
@@ -418,6 +418,24 @@ class SlotQuantizedDecodeCache:
         wr("vq", vcq)
         wr("v_mn", vcmn)
         wr("v_sc", vcsc)
+
+    def ingest_for_fused(self, layer_idx: int, k, v):
+        """Decode-step ingest for the fused Pallas attention: returns the
+        FULL buffers + per-slot new lengths (cf. QuantizedDecodeCache
+        .ingest_for_fused; the kernel takes a (B,) length vector)."""
+        self._ingest(layer_idx, k, v)
+        full = tuple(self._upd[n] for n in
+                     ("kq", "k_mn", "k_sc", "vq", "v_mn", "v_sc",
+                      "res_k", "res_v"))
+        return full, self._new_len
+
+    def update(self, layer_idx: int, k, v, positions, mask):
+        st, cfg = self.state, self.cfg
+        B, S, KVH, hd = k.shape
+        gap = cfg.gap
+        li = layer_idx
+        lengths = st.length                          # (B,)
+        self._ingest(layer_idx, k, v)
 
         # assemble dequantized chunks ++ residual, masked per slot
         kq = self._upd["kq"][li]

@@ -187,9 +187,11 @@ class Attention(fnn.Module):
 
         scale = hd ** -0.5
         if cache is not None:
-            from ..kv.cache import QuantizedDecodeCache
+            from ..kv.cache import (QuantizedDecodeCache,
+                                    SlotQuantizedDecodeCache)
             if (S == 1 and self.use_pallas
-                    and isinstance(cache, QuantizedDecodeCache)
+                    and isinstance(cache, (QuantizedDecodeCache,
+                                           SlotQuantizedDecodeCache))
                     and hd % 128 == 0 and cache.cfg.gap % 8 == 0
                     and H // KVH <= 8):
                 # fused flash-decode over the packed KV cache: codes

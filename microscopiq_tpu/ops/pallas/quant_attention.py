@@ -59,7 +59,9 @@ def _chunk_kernel(nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
         ms_ref[:] = jnp.full_like(ms_ref, NEG_INF)
         ls_ref[:] = jnp.zeros_like(ls_ref)
 
-    nfull = nfull_ref[0]
+    # prefetch layout: [layer, nfull_0 .. nfull_{B-1}] — per-slot depths
+    # (continuous batching); a shared length is just a constant vector
+    nfull = nfull_ref[1 + pl.program_id(0)]
 
     @pl.when(c * cb < nfull)
     def _():
@@ -139,7 +141,7 @@ def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, layer, nfull, scale,
         scale=scale)
 
     def lb(s, b):          # layer*B + b row in the folded (L*B, ...) view
-        return s[1] * B + b
+        return s[0] * B + b
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -179,8 +181,9 @@ def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, layer, nfull, scale,
             jax.ShapeDtypeStruct((B, KVH, rep, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.stack([jnp.asarray(nfull, jnp.int32),
-                 jnp.asarray(layer, jnp.int32)]),
+    )(jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
+                       jnp.broadcast_to(jnp.asarray(nfull, jnp.int32),
+                                        (B,))]),
       q, kq, kmn, ksc, vq, vmn, vsc)
     return o, m, l
 
@@ -189,12 +192,14 @@ def _residual_attention(q, res_k, res_v, res_len, scale):
     """Partial flash state over the fp residual window (XLA; small).
 
     q (B, KVH, rep, hd); res_k/res_v (B, gap, KVH, hd)."""
-    gap = res_k.shape[1]
+    B, gap = res_k.shape[:2]
     k = res_k.astype(jnp.float32).transpose(0, 2, 1, 3)  # (B,KVH,gap,hd)
     v = res_v.astype(jnp.float32).transpose(0, 2, 1, 3)
     logits = jnp.einsum("bgrd,bgtd->bgrt", q.astype(jnp.float32),
                         k) * scale
-    valid = (jnp.arange(gap) < res_len)[None, None, None, :]
+    res_len = jnp.broadcast_to(jnp.asarray(res_len), (B,))
+    valid = (jnp.arange(gap)[None, :] <
+             res_len[:, None])[:, None, None, :]
     logits = jnp.where(valid, logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m) * valid
@@ -212,7 +217,8 @@ def quant_attention_decode(q, state_full, layer, length, v_group: int,
         cache buffers (leading layer axis, QuantKVState layouts).
     layer: which layer to attend over (static or traced int).
     length: total live tokens INCLUDING the current one (the current
-        token's K/V must already be in the residual window).
+        token's K/V must already be in the residual window). Scalar, or
+        (B,) per-slot depths for the continuous-batching slot cache.
     Returns (B, H, hd) attention output in q.dtype.
     """
     kq, kmn, ksc, vq, vmn, vsc, res_k, res_v = state_full
@@ -267,15 +273,16 @@ def quant_attention_decode_reference(q, state_full, layer, length,
         [v_chunks.reshape(B, KVH, C * gap, hd),
          res_v.astype(jnp.float32).transpose(0, 2, 1, 3)], axis=2)
 
+    length = jnp.broadcast_to(jnp.asarray(length), (B,))
     nfull = length // gap
     res_len = length - nfull * gap
-    chunk_valid = jnp.arange(C * gap) < nfull * gap
-    res_valid = jnp.arange(gap) < res_len
-    valid = jnp.concatenate([chunk_valid, res_valid])
+    chunk_valid = jnp.arange(C * gap)[None, :] < (nfull * gap)[:, None]
+    res_valid = jnp.arange(gap)[None, :] < res_len[:, None]
+    valid = jnp.concatenate([chunk_valid, res_valid], axis=1)
 
     qg = q.reshape(B, KVH, rep, hd).astype(jnp.float32)
     logits = jnp.einsum("bgrd,bgtd->bgrt", qg, k_all) * scale
-    logits = jnp.where(valid[None, None, None, :], logits, NEG_INF)
+    logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bgrt,bgtd->bgrd", probs, v_all)
     return out.reshape(B, H, hd).astype(q.dtype)

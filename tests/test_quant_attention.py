@@ -96,3 +96,27 @@ def test_kernel_mha_rep1():
         q, slices, 0, jnp.int32(length), cfg.v_group, scale,
         interpret=True))
     np.testing.assert_allclose(y_ker, y_ref, atol=2e-2, rtol=2e-2)
+
+
+def test_kernel_per_slot_lengths():
+    """Per-slot (B,) length vector (continuous batching): each slot's
+    output equals running the kernel alone at that slot's depth."""
+    B, KVH, hd, gap = 3, 2, 128, 64
+    H = 8
+    lengths = [170, 64, 31]
+    cfg, st, full, k, v = _make_state(B, KVH, hd, gap, 256,
+                                      max(lengths))
+    q = jnp.asarray(RNG.standard_normal((B, H, hd)), jnp.float32)
+    scale = hd ** -0.5
+    lvec = jnp.asarray(lengths, jnp.int32)
+    y_vec = np.asarray(quant_attention_decode(
+        q, full, 0, lvec, cfg.v_group, scale, interpret=True))
+    y_ref = np.asarray(quant_attention_decode_reference(
+        q, full, 0, lvec, cfg.v_group, scale))
+    np.testing.assert_allclose(y_vec, y_ref, atol=2e-2, rtol=2e-2)
+    # cross-check one slot against a scalar-length run of the same state
+    y_scalar = np.asarray(quant_attention_decode(
+        q[1:2], tuple(b[:, 1:2] for b in full), 0,
+        jnp.int32(lengths[1]), cfg.v_group, scale, interpret=True))
+    np.testing.assert_allclose(y_vec[1:2], y_scalar, atol=2e-2,
+                               rtol=2e-2)
