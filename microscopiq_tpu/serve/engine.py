@@ -136,6 +136,7 @@ class Request:
     # filled by the engine
     out_tokens: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    error: Optional[str] = None
 
 
 def _bucket(n: int, buckets) -> int:
@@ -283,9 +284,18 @@ class BatchEngine:
                         req = self._queue.get_nowait()
                     except queue.Empty:
                         break
-                    with metrics.timer("engine.prefill"):
-                        self._admit(req, slot)
-                    metrics.count("engine.admitted")
+                    try:
+                        with metrics.timer("engine.prefill"):
+                            self._admit(req, slot)
+                        metrics.count("engine.admitted")
+                    except ValueError as e:
+                        # reject (e.g. prompt exceeds the largest
+                        # bucket) without killing the other requests
+                        req.error = str(e)
+                        req.done = True
+                        metrics.count("engine.rejected")
+                        if req.on_token is not None:
+                            req.on_token(-1, True)
             active = self._active_mask()
             metrics.gauge("engine.active_slots", int(active.sum()))
             metrics.gauge("engine.queued", self._queue.qsize())
@@ -347,8 +357,9 @@ def engine_generate_stream_fn(engine: BatchEngine, tokenizer,
             try:
                 while True:
                     t, d = out.get_nowait()
-                    toks.append(t)
-                    yield tokenizer.decode(toks)
+                    if t >= 0:                # -1 = rejection sentinel
+                        toks.append(t)
+                        yield tokenizer.decode(toks)
                     if d:
                         return
             except queue.Empty:

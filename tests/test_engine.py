@@ -220,3 +220,19 @@ def test_engine_quantized_kv_slot_reuse(tiny_model):
                        cache_kind="quant", quant_cfg=qcfg,
                        max_len=64)[0].tolist()
         assert got == ref, (got, ref)
+
+
+def test_engine_rejects_oversized_prompt_without_stalling(tiny_model):
+    model, params, cfg = tiny_model
+    rng = np.random.default_rng(9)
+    big = rng.integers(0, cfg.vocab_size, (40,)).astype(np.int32)
+    ok = rng.integers(0, cfg.vocab_size, (5,)).astype(np.int32)
+    eng = BatchEngine(model, params, n_slots=2, max_len=64,
+                      prompt_buckets=(8,))
+    r_big = Request(big, max_new_tokens=4)
+    r_ok = Request(ok, max_new_tokens=4)
+    eng.submit(r_big)
+    eng.submit(r_ok)
+    eng.run_until_drained()
+    assert r_big.done and r_big.error and not r_big.out_tokens
+    assert r_ok.out_tokens == _reference(model, params, ok, 4)
