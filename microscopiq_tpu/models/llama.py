@@ -357,11 +357,16 @@ class LlamaForCausalLM(fnn.Module):
 
     @fnn.compact
     def __call__(self, input_ids, positions=None, mask=None, cache=None,
-                 inputs_embeds=None):
+                 inputs_embeds=None, last_only: bool = False):
         cfg = self.cfg
         x = LlamaModel(cfg, self.mx_specs, self.use_pallas,
                        name="model")(input_ids, positions, mask, cache,
                                      inputs_embeds)
+        if last_only:
+            # prefill only needs the last position's logits; the full
+            # (B, S, vocab) tensor is the dominant HBM cost at long
+            # context (8 x 3072 x 128k f32 = 12.6 GB)
+            x = x[:, -1:]
         if cfg.tie_word_embeddings:
             embed = self.variables["params"]["model"]["embed_tokens"]
             logits = x @ embed.T

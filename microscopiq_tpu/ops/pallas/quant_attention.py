@@ -59,9 +59,9 @@ def _chunk_kernel(nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
         ms_ref[:] = jnp.full_like(ms_ref, NEG_INF)
         ls_ref[:] = jnp.zeros_like(ls_ref)
 
-    # prefetch layout: [layer, nfull_0 .. nfull_{B-1}] — per-slot depths
+    # prefetch layout: [nfull_0 .. nfull_{B-1}] — per-slot depths
     # (continuous batching); a shared length is just a constant vector
-    nfull = nfull_ref[1 + pl.program_id(0)]
+    nfull = nfull_ref[pl.program_id(0)]
 
     @pl.when(c * cb < nfull)
     def _():
@@ -115,14 +115,17 @@ def _chunk_kernel(nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
         l_ref[0, 0] = ls_ref[:, :1]
 
 
-def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, layer, nfull, scale,
+def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, nfull, scale,
                      interpret=False):
     """Partial flash state over the quantized chunks of one layer.
 
-    q: (B, KVH, rep, hd) bf16; kq/... are the FULL cache buffers with a
-    leading layer axis folded into the batch axis ((L*B, KVH, C, ...),
-    free row-major views) — the layer is selected by a prefetch scalar
-    in the index maps so no per-layer slice is ever materialized.
+    q: (B, KVH, rep, hd) bf16; kq/... are ONE LAYER's cache buffers
+    ((B, KVH, C, ...)). The caller slices the layer out BEFORE the call:
+    passing the full (L, ...) buffers through the custom-call boundary
+    pins them as custom-call operands, which blocks XLA from updating
+    the loop-carried cache in place — every dynamic_update_slice then
+    copies the whole multi-hundred-MB buffer (measured 23 ms/step of
+    `copy` on a 12L 8B-arch decode; the per-layer slice costs ~26 MB).
     Returns (o (B,KVH,rep,hd) f32 unnormalized, m, l (B,KVH,rep,1))."""
     B, KVH, rep, hd = q.shape
     C, gap = kq.shape[2], kq.shape[3]
@@ -140,26 +143,23 @@ def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, layer, nfull, scale,
         _chunk_kernel, ncb=ncb, cb=cb, rep=rep, gap=gap, hd=hd, vg=vg,
         scale=scale)
 
-    def lb(s, b):          # layer*B + b row in the folded (L*B, ...) view
-        return s[0] * B + b
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, rep, hd), lambda b, g, c, s: (b, g, 0, 0)),
             pl.BlockSpec((1, 1, cb, gap, hd),
-                         lambda b, g, c, s: (lb(s, b), g, c, 0, 0)),
+                         lambda b, g, c, s: (b, g, c, 0, 0)),
             pl.BlockSpec((1, 1, C, hd),
-                         lambda b, g, c, s: (lb(s, b), g, 0, 0)),
+                         lambda b, g, c, s: (b, g, 0, 0)),
             pl.BlockSpec((1, 1, C, hd),
-                         lambda b, g, c, s: (lb(s, b), g, 0, 0)),
+                         lambda b, g, c, s: (b, g, 0, 0)),
             pl.BlockSpec((1, 1, cb, gap, hd),
-                         lambda b, g, c, s: (lb(s, b), g, c, 0, 0)),
+                         lambda b, g, c, s: (b, g, c, 0, 0)),
             pl.BlockSpec((1, 1, cb, gap, Gh),
-                         lambda b, g, c, s: (lb(s, b), g, c, 0, 0)),
+                         lambda b, g, c, s: (b, g, c, 0, 0)),
             pl.BlockSpec((1, 1, cb, gap, Gh),
-                         lambda b, g, c, s: (lb(s, b), g, c, 0, 0)),
+                         lambda b, g, c, s: (b, g, c, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, rep, hd), lambda b, g, c, s: (b, g, 0, 0)),
@@ -181,9 +181,7 @@ def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, layer, nfull, scale,
             jax.ShapeDtypeStruct((B, KVH, rep, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(jnp.concatenate([jnp.asarray(layer, jnp.int32).reshape(1),
-                       jnp.broadcast_to(jnp.asarray(nfull, jnp.int32),
-                                        (B,))]),
+    )(jnp.broadcast_to(jnp.asarray(nfull, jnp.int32), (B,)),
       q, kq, kmn, ksc, vq, vmn, vsc)
     return o, m, l
 
@@ -232,15 +230,15 @@ def quant_attention_decode(q, state_full, layer, length, v_group: int,
     nfull = length // gap
     res_len = length - nfull * gap
 
-    fold = lambda a: a.reshape((L * B,) + a.shape[2:])   # free view
+    # one layer's slices only — full buffers must NOT cross the
+    # custom-call boundary (see _chunk_attention docstring)
+    sl = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0,
+                                                keepdims=False)
     o1, m1, l1 = _chunk_attention(
-        qg.astype(jnp.bfloat16), fold(kq), fold(kmn), fold(ksc),
-        fold(vq), fold(vmn), fold(vsc), layer, nfull, scale,
-        interpret=interpret)
-    res_k_l = jax.lax.dynamic_index_in_dim(res_k, layer, 0,
-                                           keepdims=False)
-    res_v_l = jax.lax.dynamic_index_in_dim(res_v, layer, 0,
-                                           keepdims=False)
+        qg.astype(jnp.bfloat16), sl(kq), sl(kmn), sl(ksc), sl(vq),
+        sl(vmn), sl(vsc), nfull, scale, interpret=interpret)
+    res_k_l = sl(res_k)
+    res_v_l = sl(res_v)
     o2, m2, l2 = _residual_attention(qg, res_k_l, res_v_l, res_len,
                                      scale)
 

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Long-context decode benchmark: quantized KV cache vs dense bf16 KV.
+
+Llama-3-8B architecture (12 layers fit HBM alongside both cache arms),
+MX-FP6 emi8 packed weights in BOTH arms; the arms differ only in the KV
+cache: DenseDecodeCache (bf16) vs QuantizedDecodeCache (4-bit KIVI
+grouping, gap 64, fp residual window, fused flash-decode kernel). At 3k
+context the decode step is KV-bandwidth-bound, the regime KV quantization
+exists for.
+
+Methodology per bench.py: steps under lax.scan in one jit, arms
+interleaved, min-of-k.
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from bench import build_params
+
+    from microscopiq_tpu.kv.cache import (DenseDecodeCache, QuantKVConfig,
+                                          QuantizedDecodeCache,
+                                          init_dense_cache,
+                                          init_quant_cache)
+    from microscopiq_tpu.models import LlamaConfig, LlamaForCausalLM
+    from microscopiq_tpu.nn import fuse_projections
+    from microscopiq_tpu.specs import finalize_mx_specs
+
+    on_tpu = jax.default_backend() == "tpu"
+    layers = 12 if on_tpu else 2
+    cfg = LlamaConfig.llama3_8b(num_hidden_layers=layers,
+                                dtype=jnp.bfloat16,
+                                fused_projections=True)
+    if not on_tpu:
+        cfg = LlamaConfig.tiny(dtype=jnp.bfloat16, fused_projections=True)
+
+    # B=4: unfused prefill attention scores ((B, H, S, S) f32) plus both
+    # cache arms must fit 16 GB HBM alongside the packed weights
+    B, S0, STEPS = 4, 3072, 32
+    if not on_tpu:
+        S0 = 96
+    qcfg = QuantKVConfig(bits=4, gap=64, v_group=64)
+    max_len = ((S0 + STEPS) // qcfg.gap + 2) * qcfg.gap
+
+    specs = finalize_mx_specs({"w_elem_format": "fp6_e3m2",
+                               "scale_bits": 8, "block_size": 32})
+    model = LlamaForCausalLM(cfg, use_pallas=on_tpu)
+    params = build_params(cfg, jax.random.PRNGKey(0), packed_specs=specs)
+    params = {"params": fuse_projections(params["params"])}
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (B, S0)))
+
+    def make(kind):
+        if kind == "dense":
+            state0 = init_dense_cache(cfg.num_hidden_layers, B, max_len,
+                                      cfg.num_key_value_heads,
+                                      cfg.head_dim)
+            wrap = DenseDecodeCache
+        else:
+            state0 = init_quant_cache(cfg.num_hidden_layers, B, max_len,
+                                      cfg.num_key_value_heads,
+                                      cfg.head_dim, qcfg)
+            wrap = lambda st: QuantizedDecodeCache(st, qcfg)
+
+        @jax.jit
+        def prefill(params, ids, state):
+            cache = wrap(state)
+            pos = jnp.broadcast_to(jnp.arange(S0)[None, :], (B, S0))
+            logits = model.apply(params, ids, positions=pos, cache=cache,
+                                 last_only=True)
+            return (jnp.argmax(logits[:, -1], -1).astype(jnp.int32),
+                    cache.finalize())
+
+        @jax.jit
+        def decode(params, tok0, state):
+            def step(carry, _):
+                tok, st = carry
+                cache = wrap(st)
+                pos = jnp.broadcast_to(st.length[None, None], (B, 1))
+                logits = model.apply(params, tok[:, None], positions=pos,
+                                     cache=cache)
+                nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                return (nxt, cache.finalize()), nxt
+            (_, _), toks = lax.scan(step, (tok0, state), None,
+                                    length=STEPS)
+            return toks
+
+        tok0, st = prefill(params, ids, state0)
+        toks = decode(params, tok0, st)
+        _ = np.asarray(toks)[:1]
+        return decode, tok0, st
+
+    runs = {k: make(k) for k in ("dense", "quant")}
+    best = {k: 9e9 for k in runs}
+    for _ in range(6):
+        for k, (decode, tok0, st) in runs.items():
+            t0 = time.perf_counter()
+            _ = np.asarray(decode(params, tok0, st))[:1]
+            best[k] = min(best[k], time.perf_counter() - t0)
+
+    # ACTUAL buffer bytes per (layer, sequence) — the chunk codes are
+    # stored one uint8 per 4-bit code today (sub-byte packing of the
+    # stored cache is a known gap), so the realized saving is ~2x not
+    # the analytic 16/bits
+    KVH, hd = cfg.num_key_value_heads, cfg.head_dim
+    dense_bytes = 2 * max_len * KVH * hd * 2
+    st_q = runs["quant"][2]
+    L = cfg.num_hidden_layers
+    quant_bytes = sum(
+        getattr(st_q, f).nbytes
+        for f in ("kq", "vq", "k_mn", "k_sc", "v_mn", "v_sc",
+                  "res_k", "res_v")) // (L * B)
+    tps = {k: B * STEPS / t for k, t in best.items()}
+    print(json.dumps({
+        "metric": f"decode tokens/s at {S0} ctx, {layers}L 8B arch, "
+                  f"MX-FP6 weights, 4-bit KIVI KV vs dense bf16 KV",
+        "value": round(tps["quant"], 1), "unit": "tokens/s",
+        "vs_baseline": round(tps["quant"] / tps["dense"], 4),
+        "extra": {"dense_kv_tokens_per_s": round(tps["dense"], 1),
+                  "kv_bytes_per_layer_seq": {"dense": dense_bytes,
+                                             "quant": quant_bytes},
+                  "kv_compression": round(dense_bytes / quant_bytes, 2),
+                  "backend": jax.default_backend()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
