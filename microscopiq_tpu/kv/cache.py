@@ -107,6 +107,37 @@ class QuantKVConfig:
     v_group: int = 64        # V feature group size
     residual_dtype: jnp.dtype = jnp.bfloat16
 
+    @property
+    def codes_per_byte(self) -> int:
+        """Chunk codes are stored sub-byte-packed along the token axis
+        (4-bit: 2/byte, 2-bit: 4/byte) — byte row r of a chunk packs the
+        codes of tokens r, r + gap/per, ... Unpacking is `per` logical
+        shift-extracts plus one sublane concat, never a lane op (the
+        same blockwise-interleave trick as the sb4/sb2 GEMM transports;
+        ops/packing.py _subbyte_pack)."""
+        return {2: 4, 4: 2, 8: 1}[self.bits]
+
+
+def _pack_codes(codes: jax.Array, per: int, bits: int) -> jax.Array:
+    """(..., gap, hd) uint8 values < 2^bits -> (..., gap//per, hd)."""
+    if per == 1:
+        return codes
+    *lead, gap, hd = codes.shape
+    c = codes.reshape(*lead, per, gap // per, hd).astype(jnp.uint8)
+    out = c[..., 0, :, :]
+    for i in range(1, per):
+        out = out | (c[..., i, :, :] << (bits * i))
+    return out
+
+
+def _unpack_codes(packed: jax.Array, per: int, bits: int) -> jax.Array:
+    """Inverse of :func:`_pack_codes` -> uint8 code values."""
+    if per == 1:
+        return packed
+    mask = (1 << bits) - 1
+    fields = [(packed >> (bits * i)) & mask for i in range(per)]
+    return jnp.concatenate(fields, axis=-2)
+
 
 def init_quant_cache(n_layers, batch, max_len, kv_heads, head_dim,
                      cfg: QuantKVConfig = QuantKVConfig()) -> QuantKVState:
@@ -116,7 +147,8 @@ def init_quant_cache(n_layers, batch, max_len, kv_heads, head_dim,
     assert head_dim % vg == 0, "v_group must divide head_dim"
     G = head_dim // vg
     z = jnp.zeros
-    shp = (n_layers, batch, kv_heads, C, cfg.gap, head_dim)
+    shp = (n_layers, batch, kv_heads, C, cfg.gap // cfg.codes_per_byte,
+           head_dim)
     return QuantKVState(
         kq=z(shp, jnp.uint8),
         vq=z(shp, jnp.uint8),
@@ -132,9 +164,14 @@ def init_quant_cache(n_layers, batch, max_len, kv_heads, head_dim,
     )
 
 
+def _per(bits: int) -> int:
+    return {2: 4, 4: 2, 8: 1}[bits]
+
+
 def _quant_chunk_k(chunk: jax.Array, bits: int):
     """K chunk (B, KVH, nch, gap, hd): per-channel min/max over the token
-    axis inside the chunk (KIVI channel grouping)."""
+    axis inside the chunk (KIVI channel grouping). Codes come back
+    sub-byte-packed along the token axis ((..., gap//per, hd))."""
     x = chunk.astype(jnp.float32)
     mn = x.min(axis=3)
     mx = x.max(axis=3)
@@ -142,12 +179,12 @@ def _quant_chunk_k(chunk: jax.Array, bits: int):
     sc = jnp.where(sc == 0, 1.0, sc)
     codes = jnp.clip(jnp.round((x - mn[..., None, :]) / sc[..., None, :]),
                      0, 2 ** bits - 1).astype(jnp.uint8)
-    return codes, mn, sc
+    return _pack_codes(codes, _per(bits), bits), mn, sc
 
 
 def _quant_chunk_v(chunk: jax.Array, bits: int, v_group: int):
     """V chunk (B, KVH, nch, gap, hd): per-token feature groups (groups
-    never straddle heads; v_group clamped to hd)."""
+    never straddle heads; v_group clamped to hd). Packed like K."""
     B, KVH, nch, gap, hd = chunk.shape
     vg = min(v_group, hd)
     G = hd // vg
@@ -157,17 +194,19 @@ def _quant_chunk_v(chunk: jax.Array, bits: int, v_group: int):
     sc = (mx - mn) / (2 ** bits - 1)
     sc = jnp.where(sc == 0, 1.0, sc)
     codes = jnp.clip(jnp.round((x - mn) / sc), 0, 2 ** bits - 1
-                     ).astype(jnp.uint8)
-    return (codes.reshape(chunk.shape), mn[..., 0], sc[..., 0])
+                     ).astype(jnp.uint8).reshape(chunk.shape)
+    return (_pack_codes(codes, _per(bits), bits), mn[..., 0], sc[..., 0])
 
 
-def _dequant_k(codes, mn, sc, dtype):
-    """(B, KVH, C, gap, hd) codes; (B, KVH, C, hd) scales."""
+def _dequant_k(codes, mn, sc, dtype, bits: int = 4):
+    """(B, KVH, C, gap//per, hd) packed codes; (B, KVH, C, hd) scales."""
+    codes = _unpack_codes(codes, _per(bits), bits)
     return (codes.astype(jnp.float32) * sc[..., None, :]
             + mn[..., None, :]).astype(dtype)
 
 
-def _dequant_v(codes, mn, sc, v_group, dtype):
+def _dequant_v(codes, mn, sc, v_group, dtype, bits: int = 4):
+    codes = _unpack_codes(codes, _per(bits), bits)
     B, KVH, C, gap, hd = codes.shape
     vg = min(v_group, hd)
     G = hd // vg
@@ -281,10 +320,11 @@ class QuantizedDecodeCache:
         vq = self._upd["vq"][layer_idx]
         C = kq.shape[2]
         k_chunks = _dequant_k(kq, self._upd["k_mn"][layer_idx],
-                              self._upd["k_sc"][layer_idx], k.dtype)
+                              self._upd["k_sc"][layer_idx], k.dtype,
+                              cfg.bits)
         v_chunks = _dequant_v(vq, self._upd["v_mn"][layer_idx],
                               self._upd["v_sc"][layer_idx], cfg.v_group,
-                              k.dtype)
+                              k.dtype, cfg.bits)
         # (B, KVH, C, gap, hd) -> (B, C*gap, KVH, hd)
         k_chunks = k_chunks.reshape(B, KVH, C * gap, hd).transpose(
             0, 2, 1, 3)
@@ -442,9 +482,10 @@ class SlotQuantizedDecodeCache:
         vq = self._upd["vq"][li]
         C = kq.shape[2]
         k_chunks = _dequant_k(kq, self._upd["k_mn"][li],
-                              self._upd["k_sc"][li], k.dtype)
+                              self._upd["k_sc"][li], k.dtype, cfg.bits)
         v_chunks = _dequant_v(vq, self._upd["v_mn"][li],
-                              self._upd["v_sc"][li], cfg.v_group, k.dtype)
+                              self._upd["v_sc"][li], cfg.v_group, k.dtype,
+                              cfg.bits)
         k_chunks = k_chunks.reshape(B, KVH, C * gap, hd).transpose(
             0, 2, 1, 3)
         v_chunks = v_chunks.reshape(B, KVH, C * gap, hd).transpose(

@@ -50,7 +50,19 @@ def _chunk_kernel(nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
                   vq_ref, vmn_ref, vsc_ref,
                   o_ref, m_ref, l_ref, acc_ref, ms_ref, ls_ref,
                   *, ncb: int, cb: int, rep: int, gap: int, hd: int,
-                  vg: int, scale: float):
+                  vg: int, bits: int, scale: float):
+    per = {2: 4, 4: 2, 8: 1}[bits]
+
+    def unpack(codes3):
+        """(cb, gap//per, hd) packed uint8 -> (cb*gap, hd) f32 values
+        (token-axis shift-extract + sublane concat; no lane ops)."""
+        p = codes3.astype(jnp.int32)
+        if per > 1:
+            mask = (1 << bits) - 1
+            fields = [(p >> (bits * i)) & mask for i in range(per)]
+            p = jnp.concatenate(fields, axis=1)
+        return p.reshape(cb * gap, hd).astype(jnp.float32)
+
     c = pl.program_id(2)
 
     @pl.when(c == 0)
@@ -67,9 +79,8 @@ def _chunk_kernel(nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
     def _():
         T = cb * gap
         q = q_ref[0, 0].astype(jnp.float32)              # (rep, hd)
-        # ---- K tile: (CB, gap, hd) codes -> (T, hd) dequantized
-        kc = (kq_ref[0, 0].reshape(T, hd)
-              .astype(jnp.int32).astype(jnp.float32))    # u8 -> i32 -> f32
+        # ---- K tile: packed (CB, gap//per, hd) codes -> (T, hd)
+        kc = unpack(kq_ref[0, 0])
         ksc = ksc_ref[0, 0, pl.dslice(c * cb, cb), :]    # (CB, hd)
         kmn = kmn_ref[0, 0, pl.dslice(c * cb, cb), :]
         k = kc * _expand_rows(ksc, gap) + _expand_rows(kmn, gap)
@@ -88,8 +99,7 @@ def _chunk_kernel(nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
         p = jnp.exp(logits - m_new)                      # (rep, T)
 
         # ---- V tile
-        vc = (vq_ref[0, 0].reshape(T, hd)
-              .astype(jnp.int32).astype(jnp.float32))
+        vc = unpack(vq_ref[0, 0])
         Gh = hd // vg
         vs = vsc_ref[0, 0].reshape(T, Gh)
         vm = vmn_ref[0, 0].reshape(T, Gh)
@@ -116,7 +126,7 @@ def _chunk_kernel(nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
 
 
 def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, nfull, scale,
-                     interpret=False):
+                     gap, bits, interpret=False):
     """Partial flash state over the quantized chunks of one layer.
 
     q: (B, KVH, rep, hd) bf16; kq/... are ONE LAYER's cache buffers
@@ -128,7 +138,8 @@ def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, nfull, scale,
     `copy` on a 12L 8B-arch decode; the per-layer slice costs ~26 MB).
     Returns (o (B,KVH,rep,hd) f32 unnormalized, m, l (B,KVH,rep,1))."""
     B, KVH, rep, hd = q.shape
-    C, gap = kq.shape[2], kq.shape[3]
+    C = kq.shape[2]
+    rows = gap // {2: 4, 4: 2, 8: 1}[bits]   # packed code rows per chunk
     Gh = vsc.shape[-1]
     vg = hd // Gh
     # chunks per grid step: target ~256 KB of codes per operand DMA
@@ -141,20 +152,20 @@ def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, nfull, scale,
     grid = (B, KVH, ncb)
     kernel = functools.partial(
         _chunk_kernel, ncb=ncb, cb=cb, rep=rep, gap=gap, hd=hd, vg=vg,
-        scale=scale)
+        bits=bits, scale=scale)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, rep, hd), lambda b, g, c, s: (b, g, 0, 0)),
-            pl.BlockSpec((1, 1, cb, gap, hd),
+            pl.BlockSpec((1, 1, cb, rows, hd),
                          lambda b, g, c, s: (b, g, c, 0, 0)),
             pl.BlockSpec((1, 1, C, hd),
                          lambda b, g, c, s: (b, g, 0, 0)),
             pl.BlockSpec((1, 1, C, hd),
                          lambda b, g, c, s: (b, g, 0, 0)),
-            pl.BlockSpec((1, 1, cb, gap, hd),
+            pl.BlockSpec((1, 1, cb, rows, hd),
                          lambda b, g, c, s: (b, g, c, 0, 0)),
             pl.BlockSpec((1, 1, cb, gap, Gh),
                          lambda b, g, c, s: (b, g, c, 0, 0)),
@@ -224,7 +235,9 @@ def quant_attention_decode(q, state_full, layer, length, v_group: int,
     B, H, hd = q.shape
     KVH = kq.shape[2]
     rep = H // KVH
-    gap = kq.shape[4]
+    gap = res_k.shape[2]                   # residual rows = streaming gap
+    per = gap // kq.shape[4]               # sub-byte packing of chunk codes
+    bits = {1: 8, 2: 4, 4: 2}[per]
     qg = q.reshape(B, KVH, rep, hd)
 
     nfull = length // gap
@@ -236,7 +249,7 @@ def quant_attention_decode(q, state_full, layer, length, v_group: int,
                                                 keepdims=False)
     o1, m1, l1 = _chunk_attention(
         qg.astype(jnp.bfloat16), sl(kq), sl(kmn), sl(ksc), sl(vq),
-        sl(vmn), sl(vsc), nfull, scale, interpret=interpret)
+        sl(vmn), sl(vsc), nfull, scale, gap, bits, interpret=interpret)
     res_k_l = sl(res_k)
     res_v_l = sl(res_v)
     o2, m2, l2 = _residual_attention(qg, res_k_l, res_v_l, res_len,
@@ -261,9 +274,10 @@ def quant_attention_decode_reference(q, state_full, layer, length,
     B, H, hd = q.shape
     KVH = kq.shape[1]
     rep = H // KVH
-    C, gap = kq.shape[2], kq.shape[3]
-    k_chunks = _dequant_k(kq, kmn, ksc, jnp.float32)     # (B,KVH,C,gap,hd)
-    v_chunks = _dequant_v(vq, vmn, vsc, v_group, jnp.float32)
+    C, gap = kq.shape[2], res_k.shape[1]
+    bits = {1: 8, 2: 4, 4: 2}[gap // kq.shape[3]]
+    k_chunks = _dequant_k(kq, kmn, ksc, jnp.float32, bits)
+    v_chunks = _dequant_v(vq, vmn, vsc, v_group, jnp.float32, bits)
     k_all = jnp.concatenate(
         [k_chunks.reshape(B, KVH, C * gap, hd),
          res_k.astype(jnp.float32).transpose(0, 2, 1, 3)], axis=2)
