@@ -101,18 +101,32 @@ def _chunk_kernel(nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
         # ---- V tile
         vc = unpack(vq_ref[0, 0])
         Gh = hd // vg
-        vs = vsc_ref[0, 0].reshape(T, Gh)
-        vm = vmn_ref[0, 0].reshape(T, Gh)
-        sc_full = jnp.concatenate(
-            [jnp.broadcast_to(vs[:, gi:gi + 1], (T, vg))
-             for gi in range(Gh)], axis=1)               # (T, hd)
-        mn_full = jnp.concatenate(
-            [jnp.broadcast_to(vm[:, gi:gi + 1], (T, vg))
-             for gi in range(Gh)], axis=1)
-        v = vc * sc_full + mn_full
-
-        pv = lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+        if Gh == 1:
+            # per-token V scales arrive FLAT (1, 1, T): lane-native.
+            # Fold them into the probability rows instead of the values:
+            # p @ (vc*sc + mn) == (p*sc) @ vc + (p@mn) ⊗ 1. The (gap, Gh)
+            # layout would put Gh on the lane dim — Mosaic pads lanes to
+            # 128, a measured +93 us/layer for a logically 1.6 MB operand.
+            sc_row = vsc_ref[0, 0]                       # (1, T)
+            mn_row = vmn_ref[0, 0]
+            pv = lax.dot_general(p * sc_row, vc, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+            mn_dot = lax.dot_general(p, mn_row,
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            pv = pv + mn_dot                             # (rep,1) bcast
+        else:
+            vs = vsc_ref[0, 0].reshape(T, Gh)
+            vm = vmn_ref[0, 0].reshape(T, Gh)
+            sc_full = jnp.concatenate(
+                [jnp.broadcast_to(vs[:, gi:gi + 1], (T, vg))
+                 for gi in range(Gh)], axis=1)           # (T, hd)
+            mn_full = jnp.concatenate(
+                [jnp.broadcast_to(vm[:, gi:gi + 1], (T, vg))
+                 for gi in range(Gh)], axis=1)
+            v = vc * sc_full + mn_full
+            pv = lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
         acc_ref[:] = acc_ref[:] * alpha + pv
         ls_ref[:, :1] = ls_ref[:, :1] * alpha + jnp.sum(p, axis=1,
                                                         keepdims=True)
@@ -142,12 +156,24 @@ def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, nfull, scale,
     rows = gap // {2: 4, 4: 2, 8: 1}[bits]   # packed code rows per chunk
     Gh = vsc.shape[-1]
     vg = hd // Gh
+    if Gh == 1:
+        # flatten per-token V scales to a lane-native (B, KVH, 1, C*gap)
+        # operand (free XLA reshape; the singleton keeps the block's
+        # second-minor dim equal to the array's — a Mosaic tiling rule)
+        vmn = vmn.reshape(B, KVH, 1, C * gap)
+        vsc = vsc.reshape(B, KVH, 1, C * gap)
     # chunks per grid step: target ~256 KB of codes per operand DMA
     # (the f32 dequant temporaries are 4x the codes; ~512 KB tiles blew
     # Mosaic's 16 MB scoped-vmem budget by a hair)
-    cb = max(1, min(C, (256 * 1024) // (gap * hd)))
-    while C % cb:
-        cb -= 1
+    if Gh == 1:
+        # flat scale blocks need lane sizes divisible by 128 (or the full
+        # array dim); one full-width tile satisfies that for any C and
+        # keeps VMEM modest (C*gap*hd codes ~400 KB, f32 temps ~2 MB)
+        cb = C
+    else:
+        cb = max(1, min(C, (256 * 1024) // (gap * hd)))
+        while C % cb:
+            cb -= 1
     ncb = C // cb
     grid = (B, KVH, ncb)
     kernel = functools.partial(
@@ -167,10 +193,14 @@ def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, nfull, scale,
                          lambda b, g, c, s: (b, g, 0, 0)),
             pl.BlockSpec((1, 1, cb, rows, hd),
                          lambda b, g, c, s: (b, g, c, 0, 0)),
-            pl.BlockSpec((1, 1, cb, gap, Gh),
-                         lambda b, g, c, s: (b, g, c, 0, 0)),
-            pl.BlockSpec((1, 1, cb, gap, Gh),
-                         lambda b, g, c, s: (b, g, c, 0, 0)),
+            *([pl.BlockSpec((1, 1, 1, cb * gap),
+                            lambda b, g, c, s: (b, g, 0, c)),
+               pl.BlockSpec((1, 1, 1, cb * gap),
+                            lambda b, g, c, s: (b, g, 0, c))] if Gh == 1 else
+              [pl.BlockSpec((1, 1, cb, gap, Gh),
+                            lambda b, g, c, s: (b, g, c, 0, 0)),
+               pl.BlockSpec((1, 1, cb, gap, Gh),
+                            lambda b, g, c, s: (b, g, c, 0, 0))]),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, rep, hd), lambda b, g, c, s: (b, g, 0, 0)),

@@ -48,10 +48,11 @@ def main():
 
     # B=4: unfused prefill attention scores ((B, H, S, S) f32) plus both
     # cache arms must fit 16 GB HBM alongside the packed weights
-    B, S0, STEPS = 4, 3072, 32
+    B, S0, STEPS = 4, 3072, 64
     if not on_tpu:
         S0 = 96
-    qcfg = QuantKVConfig(bits=4, gap=64, v_group=64)
+    # v_group=hd: per-token V scales ride the lane-native fast path
+    qcfg = QuantKVConfig(bits=4, gap=64, v_group=128)
     max_len = ((S0 + STEPS) // qcfg.gap + 2) * qcfg.gap
 
     specs = finalize_mx_specs({"w_elem_format": "fp6_e3m2",

@@ -120,3 +120,19 @@ def test_kernel_per_slot_lengths():
         jnp.int32(lengths[1]), cfg.v_group, scale, interpret=True))
     np.testing.assert_allclose(y_vec[1:2], y_scalar, atol=2e-2,
                                rtol=2e-2)
+
+
+def test_kernel_per_token_v_scales_matches_twin():
+    """v_group == hd (Gh=1): per-token V scales take the lane-native
+    fast path (flat scale operand, scale folded into probability rows)."""
+    B, KVH, hd, gap = 2, 2, 128, 64
+    H = 8
+    cfg, st, full, k, v = _make_state(B, KVH, hd, gap, 256, 170,
+                                      v_group=128)
+    q = jnp.asarray(RNG.standard_normal((B, H, hd)), jnp.float32)
+    scale = hd ** -0.5
+    y_ref = np.asarray(quant_attention_decode_reference(
+        q, full, 0, jnp.int32(170), cfg.v_group, scale))
+    y_ker = np.asarray(quant_attention_decode(
+        q, full, 0, jnp.int32(170), cfg.v_group, scale, interpret=True))
+    np.testing.assert_allclose(y_ker, y_ref, atol=2e-2, rtol=2e-2)
