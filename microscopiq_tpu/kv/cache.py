@@ -104,7 +104,11 @@ class QuantKVState:
 class QuantKVConfig:
     bits: int = 4
     gap: int = 64            # streaming gap == K channel group size
-    v_group: int = 64        # V feature group size
+    # V feature group size; >= head_dim means per-token V scales — the
+    # serving default, because grouped scales (Gh>1) put a tiny dim on
+    # the Mosaic lane axis and pad 64x (measured +93 us/layer/operand in
+    # the fused kernel; see ops/pallas/quant_attention.py)
+    v_group: int = 128
     residual_dtype: jnp.dtype = jnp.bfloat16
 
     @property
