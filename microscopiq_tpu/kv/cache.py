@@ -38,13 +38,22 @@ class DenseKVState:
     k: jax.Array          # (L, B, S_max, KVH, hd)
     v: jax.Array
     length: jax.Array     # () int32
+    # per-row left-pad count (B,): slot s of row b holds the token with
+    # REAL position s - offset[b]; slots < offset[b] are pads and masked.
+    # Zeros = the classic equal-length batch. This is the static-shape
+    # analog of HF generate's left-padding + attention_mask handling
+    # (kv_quant/evaluation_gsm8k.py:267-277 pads "longest"; positions
+    # derive from the mask cumsum).
+    offset: jax.Array = None
 
 
 def init_dense_cache(n_layers, batch, max_len, kv_heads, head_dim,
-                     dtype=jnp.bfloat16) -> DenseKVState:
+                     dtype=jnp.bfloat16, offset=None) -> DenseKVState:
     shape = (n_layers, batch, max_len, kv_heads, head_dim)
+    if offset is None:
+        offset = jnp.zeros((batch,), jnp.int32)
     return DenseKVState(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
-                        jnp.zeros((), jnp.int32))
+                        jnp.zeros((), jnp.int32), offset)
 
 
 class DenseDecodeCache:
@@ -69,14 +78,26 @@ class DenseDecodeCache:
         self._new_len = new_len
 
         S_max = st.k.shape[2]
-        key_pos = jnp.arange(S_max)[None, :]
-        q_pos = positions                       # (B, S)
-        mask = (key_pos[:, None, :] <= q_pos[..., None]) & \
-               (key_pos[:, None, :] < new_len)
+        # real position of key slot s in row b is s - offset[b]; pads
+        # (negative real position) never attend
+        key_real = (jnp.arange(S_max)[None, :]
+                    - _offset_of(st, B)[:, None])        # (B, S_max)
+        q_pos = positions                                # (B, S)
+        mask = (key_real[:, None, :] <= q_pos[..., None]) & \
+               (key_real[:, None, :] >= 0) & \
+               (jnp.arange(S_max)[None, None, :] < new_len)
         return kl, vl, mask[:, None, :, :]
 
     def finalize(self) -> DenseKVState:
-        return DenseKVState(self._new_k, self._new_v, self._new_len)
+        return DenseKVState(self._new_k, self._new_v, self._new_len,
+                            self.state.offset)
+
+
+def _offset_of(st, batch: int) -> jax.Array:
+    off = getattr(st, "offset", None)
+    if off is None:
+        return jnp.zeros((batch,), jnp.int32)
+    return off
 
 
 # ---------------------------------------------------------------------------
@@ -98,6 +119,12 @@ class QuantKVState:
     res_k: jax.Array
     res_v: jax.Array
     length: jax.Array
+    # per-row left-pad count (B,) — see DenseKVState.offset. Pads inside
+    # a chunk do pollute that chunk's min/max scales, exactly as the
+    # reference's compress functions quantize the padded cache
+    # (compress_function.py:8-70 has no padding awareness); attention
+    # correctness is preserved by the mask.
+    offset: jax.Array = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,7 +171,8 @@ def _unpack_codes(packed: jax.Array, per: int, bits: int) -> jax.Array:
 
 
 def init_quant_cache(n_layers, batch, max_len, kv_heads, head_dim,
-                     cfg: QuantKVConfig = QuantKVConfig()) -> QuantKVState:
+                     cfg: QuantKVConfig = QuantKVConfig(),
+                     offset=None) -> QuantKVState:
     assert max_len % cfg.gap == 0
     C = max_len // cfg.gap
     vg = min(cfg.v_group, head_dim)
@@ -153,6 +181,8 @@ def init_quant_cache(n_layers, batch, max_len, kv_heads, head_dim,
     z = jnp.zeros
     shp = (n_layers, batch, kv_heads, C, cfg.gap // cfg.codes_per_byte,
            head_dim)
+    if offset is None:
+        offset = jnp.zeros((batch,), jnp.int32)
     return QuantKVState(
         kq=z(shp, jnp.uint8),
         vq=z(shp, jnp.uint8),
@@ -165,6 +195,7 @@ def init_quant_cache(n_layers, batch, max_len, kv_heads, head_dim,
         res_v=z((n_layers, batch, cfg.gap, kv_heads, head_dim),
                 cfg.residual_dtype),
         length=z((), jnp.int32),
+        offset=offset,
     )
 
 
@@ -341,16 +372,19 @@ class QuantizedDecodeCache:
 
         nfull = new_len // gap
         res_len = new_len % gap
-        # positions of stored tokens
+        # slot indices of stored tokens; slot s of row b holds the token
+        # with REAL position s - offset[b] (left-padding support)
         chunk_pos = jnp.arange(C * gap)
         chunk_valid = chunk_pos < nfull * gap
         res_pos = nfull * gap + jnp.arange(gap)
         res_valid = jnp.arange(gap) < res_len
-        key_pos = jnp.concatenate([chunk_pos, res_pos])
+        key_slot = jnp.concatenate([chunk_pos, res_pos])
         key_valid = jnp.concatenate([chunk_valid, res_valid])
 
+        key_real = key_slot[None, :] - _offset_of(st, B)[:, None]
         q_pos = positions                                # (B, S)
-        m = (key_pos[None, None, :] <= q_pos[..., None]) & \
+        m = (key_real[:, None, :] <= q_pos[..., None]) & \
+            (key_real[:, None, :] >= 0) & \
             key_valid[None, None, :]
         return k_all, v_all, m[:, None, :, :]
 
@@ -368,7 +402,8 @@ class QuantizedDecodeCache:
         return full, self._new_len
 
     def finalize(self) -> QuantKVState:
-        return QuantKVState(length=self._new_len, **self._upd)
+        return QuantKVState(length=self._new_len,
+                            offset=self.state.offset, **self._upd)
 
     @property
     def compression_ratio(self) -> float:
@@ -514,7 +549,8 @@ class SlotQuantizedDecodeCache:
         return k_all, v_all, m[:, None, :, :]
 
     def finalize(self) -> QuantKVState:
-        return QuantKVState(length=self._new_len, **self._upd)
+        return QuantKVState(length=self._new_len,
+                            offset=self.state.offset, **self._upd)
 
 
 class SlotQuantPrefillCache:
@@ -595,4 +631,4 @@ class SlotQuantPrefillCache:
         tl = self.true_len if true_len is None else true_len
         return QuantKVState(
             length=self.state.length.at[self.slot].set(tl),
-            **self._upd)
+            offset=self.state.offset, **self._upd)

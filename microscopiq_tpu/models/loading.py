@@ -125,3 +125,43 @@ def convert_opt(state: Dict[str, np.ndarray], cfg: OPTConfig):
             "scale": jnp.asarray(g("decoder.final_layer_norm.weight")),
             "bias": jnp.asarray(g("decoder.final_layer_norm.bias"))}
     return {"params": p}
+
+
+def export_opt_state_dict(params, cfg: OPTConfig) -> Dict[str, np.ndarray]:
+    """OPTForCausalLM params → HF-named numpy state dict.
+
+    Inverse of :func:`convert_opt` — lets a model trained/quantized in
+    this framework be loaded into ``transformers.OPTForCausalLM`` (e.g.
+    for differential testing against the reference torch pipeline,
+    ``llm/opt.py:25-252``).
+    """
+    p = params["params"] if "params" in params else params
+    out: Dict[str, np.ndarray] = {}
+
+    def put(k, v):
+        out["model." + k] = np.ascontiguousarray(np.asarray(v, np.float32))
+
+    put("decoder.embed_tokens.weight", p["embed_tokens"])
+    put("decoder.embed_positions.weight", p["embed_positions"])
+    for i in range(cfg.num_hidden_layers):
+        pre = f"decoder.layers.{i}."
+        layer = p[f"layers_{i}"]
+        for n in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            put(pre + f"self_attn.{n}.weight",
+                np.asarray(layer["self_attn"][n]["kernel"]).T)
+            put(pre + f"self_attn.{n}.bias", layer["self_attn"][n]["bias"])
+        for ln in ("self_attn_layer_norm", "final_layer_norm"):
+            put(pre + f"{ln}.weight", layer[ln]["scale"])
+            put(pre + f"{ln}.bias", layer[ln]["bias"])
+        for fc in ("fc1", "fc2"):
+            put(pre + f"{fc}.weight", np.asarray(layer[fc]["kernel"]).T)
+            put(pre + f"{fc}.bias", layer[fc]["bias"])
+    if cfg.do_layer_norm_before:
+        put("decoder.final_layer_norm.weight", p["final_layer_norm"]["scale"])
+        put("decoder.final_layer_norm.bias", p["final_layer_norm"]["bias"])
+    if cfg.tie_word_embeddings:
+        out["lm_head.weight"] = out["model.decoder.embed_tokens.weight"]
+    elif "lm_head" in p:
+        out["lm_head.weight"] = np.ascontiguousarray(
+            np.asarray(p["lm_head"]["kernel"]).T)
+    return out

@@ -157,11 +157,17 @@ def gptq_quantize_model(kind: str, cfg, params, calib_ids: jax.Array,
                         quantizer: Optional[MXQuantizer] = None,
                         mode: str = "mx_prune", blocksize: int = 128,
                         percdamp: float = 0.01, actorder: bool = False,
-                        nsamples_batch: int = 8, verbose: bool = True):
+                        nsamples_batch: int = 8, verbose: bool = True,
+                        groups: Optional[Sequence[Sequence[str]]] = None):
     """GPTQ-quantize every decoder layer of a Llama/OPT model.
 
     calib_ids: (nsamples, seqlen) int token crops (reference: nsamples
     random seqlen-2048 crops, data_utils.py:12-205).
+    groups: override the sublayer calibration order. Default is the
+    model's true_sequential grouping (llm/llama.py:113-119); pass a
+    single group with every path to match the reference OPT driver,
+    which captures all sublayer inputs in one unquantized pass
+    (llm/opt.py:96-105).
     Returns a new params pytree with quantized linear kernels.
     """
     from ..models.llama import DecoderLayer, causal_mask
@@ -184,14 +190,14 @@ def gptq_quantize_model(kind: str, cfg, params, calib_ids: jax.Array,
         hidden = tree["embed_tokens"][calib_ids]
         layer_module = DecoderLayer(cfg)
         extra_fn = lambda i, x: (positions, mask, None, i)
-        groups = LLAMA_GROUPS
+        groups = groups or LLAMA_GROUPS
     elif kind == "opt":
         tree = p
         hidden = (tree["embed_tokens"][calib_ids] +
                   tree["embed_positions"][positions + 2])
         layer_module = OPTLayer(cfg)
         extra_fn = lambda i, x: (mask, None, i, positions)
-        groups = OPT_GROUPS
+        groups = groups or OPT_GROUPS
     else:
         raise ValueError(kind)
 
