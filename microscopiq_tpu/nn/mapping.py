@@ -92,6 +92,21 @@ def pack_params(params, mx_specs: MxSpecs,
                      for p in path)
         if keys in targets:
             if outlier_budget > 0:
+                if outlier_transport == "emi8m":
+                    # absolute per-element byte stream: exact for ANY
+                    # quantization geometry — in particular the GPTQ
+                    # drivers' out-axis 16-blocks (llm/opt.py:87-94),
+                    # whose outlier masks CANNOT be faithfully re-derived
+                    # from the fake-quant values (re-extraction labels
+                    # ~5.6 outliers/block where quantization saw ~0.7;
+                    # measured 113→148 ppl with the old re-quantize path)
+                    try:
+                        return packing.pack_emi8m_absolute(
+                            leaf, block_size=mx_specs["block_size"],
+                            axis=0,
+                            elem_format=mx_specs["w_elem_format"])
+                    except ValueError:
+                        pass  # fall through to the side-band form
                 p = pack_mx_outlier(
                     leaf, mx_specs["scale_bits"] or 8,
                     mx_specs["scale_bits"] or 8,
@@ -102,10 +117,6 @@ def pack_params(params, mx_specs: MxSpecs,
                     block_size=mx_specs["block_size"],
                     outlier_budget=outlier_budget, axis=0)
                 if outlier_transport == "emi8m":
-                    # collapse both levels into one per-element byte
-                    # stream so serving takes the DMA-bound scale-after-
-                    # dot kernel with no side-band (exact; falls back to
-                    # the side-band form on degenerate tensors)
                     try:
                         return packing.merge_outlier_emi8(p)
                     except ValueError:

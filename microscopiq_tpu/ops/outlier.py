@@ -102,6 +102,7 @@ def _outlier_quantize_core(
     stats_on_block_axis: bool,
     underflow_floor_20: bool,
     want_num_outliers: bool,
+    want_decisions: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     assert inlier_scale_bits > 0 and outlier_scale_bits > 0
 
@@ -157,6 +158,7 @@ def _outlier_quantize_core(
     inlier_val = quantize_elemwise_core(
         inlier_val, mbits_in, ebits_in, max_norm_in, round=round,
         allow_denorm=True, saturate_normals=True)
+    inlier_code = inlier_val            # pre-L1-scale value == the code
     inlier_val = mul_pow2(inlier_val, shared_exp_in)
 
     # ---- Level-2 (outlier) shared scale -------------------------------
@@ -169,12 +171,28 @@ def _outlier_quantize_core(
     outlier_val = quantize_elemwise_core(
         outlier_val, mbits_out, ebits_out, max_norm_out, round=round,
         allow_denorm=True, saturate_normals=True)
+    outlier_code = outlier_val          # pre-scale value == the code
     outlier_val = mul_pow2(mul_pow2(outlier_val, shared_exp_out), -shared_exp_in)
 
     # ---- Reconstruct ----------------------------------------------------
     A = inlier_val + outlier_val
     if block_size:
         A = undo_reshape_to_blocks(A, padded_shape, orig_shape, axes)
+    if want_decisions:
+        # Everything a lossless packer needs (codes are pre-scale grid
+        # values; scatter masks + both shared exponents). Shapes follow
+        # the ORIGINAL (unblocked) layout for codes/mask; exponents keep
+        # one entry per block along each quantized axis.
+        undo = lambda x: (undo_reshape_to_blocks(
+            x, padded_shape, orig_shape, axes) if block_size else x)
+        decisions = {
+            "inl_code": undo(inlier_code),
+            "out_code": undo(outlier_code),
+            "mask": undo(outlier_pos),
+            "se_in": jnp.squeeze(shared_exp_in, axis=shared_exp_axes),
+            "se_out": jnp.squeeze(shared_exp_out, axis=shared_exp_axes),
+        }
+        return A, num_outliers, decisions
     return A, num_outliers
 
 
@@ -204,6 +222,42 @@ def quantize_mx_outlier_hessian(
         flush_fp32_subnorms,
         stats_use_abs=True, stats_unbiased=False, stats_on_block_axis=False,
         underflow_floor_20=True, want_num_outliers=True)
+
+
+def quantize_mx_outlier_hessian_decisions(
+    A: jax.Array,
+    inlier_scale_bits: int,
+    outlier_scale_bits: int,
+    inlier_elem_format,
+    outlier_elem_format,
+    shared_exp_method: str = "max",
+    std_dev: float = 2,
+    axes=None,
+    block_size: int = 0,
+    round: str = "nearest",
+    flush_fp32_subnorms: bool = False,
+):
+    """Like :func:`quantize_mx_outlier_hessian` but also returns the
+    quantization *decisions* (pre-scale codes, outlier mask, both shared
+    exponents) so a packer can reproduce the quantized tensor losslessly.
+
+    Re-deriving the outlier mask from the already-quantized values is NOT
+    faithful: int2 quantization collapses the distribution, so a post-hoc
+    mean±k·std re-extraction labels ~5.6 elements/block as outliers where
+    the original quantization saw ~0.7 (measured on a GPTQ'd OPT layer) —
+    the root cause of a 113→148 ppl regression in the packed transport
+    before decisions-threading existed.
+    """
+    if inlier_elem_format is None:
+        return A, jnp.zeros((), jnp.int8), None
+    return _outlier_quantize_core(
+        A, inlier_scale_bits, outlier_scale_bits,
+        inlier_elem_format, outlier_elem_format,
+        shared_exp_method, std_dev, axes, block_size, round,
+        flush_fp32_subnorms,
+        stats_use_abs=True, stats_unbiased=False, stats_on_block_axis=False,
+        underflow_floor_20=True, want_num_outliers=True,
+        want_decisions=True)
 
 
 def quantize_mx_outlier_v1(

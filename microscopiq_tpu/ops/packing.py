@@ -270,6 +270,59 @@ def merge_outlier_emi8(p: "PackedMXOutlier", mw: int = 0, fold: int = -1,
     raise ValueError(f"values not exactly emi8m-representable {tried}")
 
 
+def pack_emi8m_absolute(A: jax.Array, block_size: int = 32, mw: int = 0,
+                        axis: int = 0, elem_format: str = "int2"
+                        ) -> "PackedMX":
+    """Encode EXACT (already fake-quantized) values as an *absolute*
+    emi8m stream: one (e'|m̂) byte per element, a single per-tensor scale
+    fold, and all-zero per-block exponents.
+
+    Because each element's full exponent lives in its own byte, this is
+    geometry-free: it serves quantized tensors of ANY block structure —
+    in particular the GPTQ drivers' 16-element blocks along the
+    *out-features* axis (llm/opt.py:87-94 axes=[0]), which the
+    contraction-axis-blocked scale-after-dot kernels cannot otherwise
+    express. It is exact by construction (every MX/outlier grid value is
+    a small odd mantissa × power of two); raises ValueError when the
+    tensor's dynamic range or mantissas don't fit a byte (fall back to
+    the per-block side-band form then). The block_size/scale_exp here
+    exist only to satisfy the kernels' block layout; the exponents are 0.
+    """
+    import numpy as np
+
+    t = np.asarray(jnp.asarray(A, jnp.float32)).astype(np.float64)
+    axis_n = axis % t.ndim
+    if axis_n != t.ndim - 1:
+        t = np.moveaxis(t, axis_n, -1)
+    n = t.shape[-1]
+    pad = (-n) % block_size
+    if pad:
+        t = np.concatenate(
+            [t, np.zeros(t.shape[:-1] + (pad,), t.dtype)], axis=-1)
+    decomp = _pow2_decompose(t.reshape(-1))
+    m0, e0, nz = decomp
+    fold = max(0, int(-e0[nz].min())) if nz.any() else 0
+    tried = []
+    for mw_c in ([mw] if mw else range(2, 8)):
+        fields = _emi8m_fields(decomp, mw_c, fold)
+        tried.append((mw_c, fold))
+        if fields is None:
+            continue
+        eprime, mhat = fields
+        codes = _emi8m_bytes(eprime, mhat, mw_c).reshape(t.shape)
+        nb = t.shape[-1] // block_size
+        se = np.zeros(t.shape[:-1] + (nb,), np.int8)
+        if axis_n != A.ndim - 1:
+            codes = np.moveaxis(codes, -1, axis_n)
+            se = np.moveaxis(se, -1, axis_n)
+        return PackedMX(
+            codes=jnp.asarray(codes), scale_exp=jnp.asarray(se),
+            elem_format=elem_format, block_size=block_size,
+            scale_bits=8, orig_dim=n, axis=axis_n,
+            transport="emi8m", transport_mw=mw_c, transport_fold=fold)
+    raise ValueError(f"values not exactly emi8m-representable {tried}")
+
+
 def emi8m_rebase(p: "PackedMX", mw: int, fold: int) -> "PackedMX":
     """Re-encode an emi8m tensor to a common (mw, fold) — used before
     concatenating fused projections. Exact or raises ValueError."""

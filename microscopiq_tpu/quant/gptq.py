@@ -27,7 +27,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.outlier import quantize_mx_outlier_hessian, quantize_mx_outlier_v1
+from ..ops.outlier import (
+    quantize_mx_outlier_hessian,
+    quantize_mx_outlier_hessian_decisions,
+    quantize_mx_outlier_v1,
+)
 from .quantizer import MXQuantizer, UniformQuantizer, quantize_uniform
 
 
@@ -43,33 +47,48 @@ def _hessian_update(H: jax.Array, nsamples: jax.Array, inp2d: jax.Array,
 
 
 @functools.lru_cache(maxsize=64)
-def _make_block_fn(qcfg: tuple, mode: str, rows: int, count: int):
-    """Build the jitted per-block column loop for a given geometry."""
+def _make_block_fn(qcfg: tuple, mode: str, rows: int, count: int,
+                   collect_decisions: bool = False):
+    """Build the jitted per-block column loop for a given geometry.
+
+    With ``collect_decisions`` the loop also accumulates each column's
+    quantization decisions (pre-scale codes, outlier mask, L1/L2 shared
+    exponents) so the packed serving transport can reproduce Q exactly
+    (see quantize_mx_outlier_hessian_decisions).
+    """
     (in_sb, out_sb, in_fmt, out_fmt, sem, std_dev, axes, bsz, rnd, flush) = qcfg
 
     def quantize_col(w):
         if mode == "mx_prune" or mode == "mx_hessian":
+            if collect_decisions:
+                q, n_out, dec = quantize_mx_outlier_hessian_decisions(
+                    w[:, None], in_sb, out_sb, in_fmt, out_fmt, sem,
+                    std_dev, list(axes), bsz, rnd, flush)
+                return q[:, 0], n_out, dec
             q, n_out = quantize_mx_outlier_hessian(
                 w[:, None], in_sb, out_sb, in_fmt, out_fmt, sem, std_dev,
                 list(axes), bsz, rnd, flush)
-            return q[:, 0], n_out
+            return q[:, 0], n_out, None
         elif mode == "mx_v1":
             q = quantize_mx_outlier_v1(
                 w[:, None], in_sb, out_sb, in_fmt, out_fmt, sem, std_dev,
                 list(axes), bsz, rnd, flush)
-            return q[:, 0], None
+            return q[:, 0], None, None
         raise ValueError(mode)
+
+    nb = (rows + bsz - 1) // bsz if bsz else 1
 
     @jax.jit
     def block_fn(W1, Hinv1):
         col_ids = jnp.arange(count)
 
         def body(i, carry):
-            W1, Q1, Err1, L1 = carry
+            W1, Q1, Err1, L1, D1 = carry
             w = lax.dynamic_slice_in_dim(W1, i, 1, axis=1)[:, 0]
             d = Hinv1[i, i]
-            q, n_out = quantize_col(w)
+            q, n_out, dec = quantize_col(w)
 
+            pruned = jnp.zeros((rows,), bool)
             if mode == "mx_prune":
                 # prune-and-redistribute (gptq.py:146-153): zero the
                 # num_outliers least-important weights by importance rank
@@ -78,7 +97,8 @@ def _make_block_fn(qcfg: tuple, mode: str, rows: int, count: int):
                 order = jnp.argsort(importance)
                 ranks = jnp.zeros((rows,), jnp.int32).at[order].set(
                     jnp.arange(rows, dtype=jnp.int32))
-                q = jnp.where(ranks < num, 0.0, q)
+                pruned = ranks < num
+                q = jnp.where(pruned, 0.0, q)
 
             err = (w - q) / d
             # error feedback into remaining columns of the block
@@ -87,12 +107,30 @@ def _make_block_fn(qcfg: tuple, mode: str, rows: int, count: int):
             Q1 = Q1.at[:, i].set(q)
             Err1 = Err1.at[:, i].set(err)
             L1 = L1.at[:, i].set((w - q) ** 2 / d ** 2)
-            return W1, Q1, Err1, L1
+            if collect_decisions:
+                keep = ~pruned
+                D1 = (
+                    D1[0].at[:, i].set(
+                        jnp.where(keep, dec["inl_code"][:, 0], 0.0)),
+                    D1[1].at[:, i].set(
+                        jnp.where(keep, dec["out_code"][:, 0], 0.0)),
+                    D1[2].at[:, i].set(
+                        (dec["mask"][:, 0] > 0) & keep),
+                    D1[3].at[:, i].set(dec["se_in"][:, 0]),
+                    D1[4].at[:, i].set(dec["se_out"][:, 0]),
+                )
+            return W1, Q1, Err1, L1, D1
 
         zeros = jnp.zeros((rows, count), jnp.float32)
-        _, Q1, Err1, L1 = lax.fori_loop(
-            0, count, body, (W1, zeros, zeros, zeros))
-        return Q1, Err1, L1
+        D0 = (jnp.zeros((rows, count), jnp.float32),
+              jnp.zeros((rows, count), jnp.float32),
+              jnp.zeros((rows, count), bool),
+              jnp.zeros((nb, count), jnp.float32),
+              jnp.zeros((nb, count), jnp.float32)) \
+            if collect_decisions else jnp.zeros(())
+        _, Q1, Err1, L1, D1 = lax.fori_loop(
+            0, count, body, (W1, zeros, zeros, zeros, D0))
+        return Q1, Err1, L1, D1
 
     return block_fn
 
@@ -117,6 +155,7 @@ class GPTQ:
         self.nsamples = jnp.zeros((), jnp.float32)
         self.quantizer: Optional[MXQuantizer] = None
         self.mode = mode
+        self.decisions = None
 
     def add_batch(self, inp: jax.Array) -> None:
         """Accumulate XᵀX from a calibration batch (gptq.py:32-58)."""
@@ -133,7 +172,8 @@ class GPTQ:
 
     def fasterquant(self, blocksize: int = 128, percdamp: float = 0.01,
                     groupsize: int = -1, actorder: bool = False,
-                    static_groups: bool = False, verbose: bool = False
+                    static_groups: bool = False, verbose: bool = False,
+                    collect_decisions: bool = False
                     ) -> Tuple[jax.Array, jax.Array]:
         """Quantize the layer; returns (Q, losses) (gptq.py:60-184)."""
         tick = time.time()
@@ -174,15 +214,30 @@ class GPTQ:
 
         Q = jnp.zeros_like(W)
         losses = jnp.zeros_like(W)
+        decs = [] if collect_decisions else None
         for i1 in range(0, self.columns, blocksize):
             i2 = min(i1 + blocksize, self.columns)
             count = i2 - i1
-            block_fn = _make_block_fn(qcfg, self.mode, self.rows, count)
-            Q1, Err1, L1 = block_fn(W[:, i1:i2], Hinv[i1:i2, i1:i2])
+            block_fn = _make_block_fn(qcfg, self.mode, self.rows, count,
+                                      collect_decisions)
+            Q1, Err1, L1, D1 = block_fn(W[:, i1:i2], Hinv[i1:i2, i1:i2])
             Q = Q.at[:, i1:i2].set(Q1)
             losses = losses.at[:, i1:i2].set(L1 / 2)
+            if collect_decisions:
+                decs.append(D1)
             if i2 < self.columns:
                 W = W.at[:, i2:].add(-(Err1 @ Hinv[i1:i2, i2:]))
+
+        self.decisions = None
+        if collect_decisions:
+            names = ("inl_code", "out_code", "mask", "se_in", "se_out")
+            self.decisions = {
+                n: jnp.concatenate([d[k] for d in decs], axis=1)
+                for k, n in enumerate(names)}
+            self.decisions["block_size"] = self.quantizer.block_size
+            if actorder:
+                for n in names:
+                    self.decisions[n] = self.decisions[n][:, invperm]
 
         if actorder:
             Q = Q[:, invperm]

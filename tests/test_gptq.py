@@ -113,3 +113,33 @@ def test_gptq_dead_columns():
     Q, _ = g.fasterquant(blocksize=8)
     assert np.isfinite(np.asarray(Q)).all()
     assert (np.asarray(Q)[:, 5] == 0).all()  # dead column zeroed
+
+
+def test_fasterquant_collect_decisions_reconstructs_q():
+    """Decisions threading: the (codes, mask, L1/L2 exponents) collected
+    during the column loop must reproduce Q exactly — the contract the
+    sub-4-bit packed serving transport relies on."""
+    rng = np.random.default_rng(21)
+    W = rng.standard_normal((64, 48)).astype(np.float32)
+    W[rng.random(W.shape) < 0.05] *= 8.0
+    X = rng.standard_normal((4, 16, 48)).astype(np.float32)
+
+    g = GPTQ(jnp.asarray(W), mode="mx_prune")
+    g.quantizer = MXQuantizer(8, 8, "int2", "fp4", std_dev=2.0,
+                              axes=(0,), block_size=16)
+    for i in range(X.shape[0]):
+        g.add_batch(jnp.asarray(X[i]))
+    Q, _ = g.fasterquant(blocksize=32, collect_decisions=True)
+    d = g.decisions
+    assert d is not None and d["block_size"] == 16
+
+    bs = d["block_size"]
+    rep = lambda se: np.repeat(np.asarray(se), bs, axis=0)[:W.shape[0]]
+    recon = (np.asarray(d["inl_code"]) * 2.0 ** rep(d["se_in"])
+             + np.asarray(d["out_code"])
+             * 2.0 ** (rep(d["se_out"]) - rep(d["se_in"])))
+    np.testing.assert_array_equal(recon.astype(np.float32), np.asarray(Q))
+    # mask marks exactly the nonzero outlier codes
+    assert np.array_equal(np.asarray(d["mask"]) != 0,
+                          np.asarray(d["out_code"]) != 0) or (
+        np.asarray(d["out_code"])[np.asarray(d["mask"]) == 0] == 0).all()

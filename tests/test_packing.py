@@ -267,3 +267,32 @@ def test_serving_layout_roundtrip_subbyte():
                                       np.asarray(p.codes))
         np.testing.assert_array_equal(np.asarray(dequantize_mx(back)),
                                       np.asarray(dequantize_mx(p)))
+
+
+def test_pack_emi8m_absolute_gptq_geometry_bitexact():
+    """Absolute emi8m must represent an ALREADY-fake-quantized tensor
+    exactly for ANY quantization geometry — here the GPTQ drivers'
+    out-axis (axes=[0]) 16-element blocks (llm/opt.py:87-94), whose
+    outlier masks cannot be re-derived post hoc (the 113->148 ppl
+    regression this path fixes)."""
+    from microscopiq_tpu.ops.outlier import quantize_mx_outlier_hessian
+    from microscopiq_tpu.ops.packing import (dequantize_mx,
+                                             pack_emi8m_absolute)
+
+    rng = np.random.default_rng(11)
+    W = rng.standard_normal((96, 64)).astype(np.float32)
+    W[rng.random((96, 64)) < 0.04] *= 10.0
+    q, _ = quantize_mx_outlier_hessian(
+        jnp.asarray(W), 8, 8, "int2", "fp4", "max", 2.0, [0], 16)
+    p = pack_emi8m_absolute(q, block_size=16, axis=0, elem_format="int2")
+    assert p.transport == "emi8m"
+    assert_bitexact(dequantize_mx(p), q)
+
+
+def test_pack_emi8m_absolute_rejects_unrepresentable():
+    from microscopiq_tpu.ops.packing import pack_emi8m_absolute
+
+    rng = np.random.default_rng(12)
+    raw = jnp.asarray(rng.standard_normal((32, 32)).astype(np.float32))
+    with pytest.raises(ValueError):
+        pack_emi8m_absolute(raw, block_size=16, axis=0)
