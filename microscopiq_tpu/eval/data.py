@@ -102,6 +102,13 @@ def get_loaders(name: str, nsamples: int = 128, seed: int = 0,
 
 
 def _hash_tokenize(text: str, vocab_size: int = 256) -> np.ndarray:
-    """Word-hash tokenizer for synthetic pipelines."""
-    toks = [hash(w) % (vocab_size - 2) + 2 for w in text.split()]
+    """Word-hash tokenizer for synthetic pipelines.
+
+    Uses a deterministic hash: the builtin ``hash()`` is salted per
+    process (PYTHONHASHSEED), which made perplexities differ run to run.
+    """
+    import zlib
+
+    toks = [zlib.crc32(w.encode()) % (vocab_size - 2) + 2
+            for w in text.split()]
     return np.asarray(toks, np.int32)

@@ -26,7 +26,7 @@ import flax.linen as fnn
 import jax
 import jax.numpy as jnp
 
-from ..ops.packing import PackedMX, PackedMXOutlier
+from ..ops.packing import PackedMX, PackedMXOutlier, PackedOutlierNB
 from ..specs import MxSpecs
 from .. import nn as mnn
 
@@ -122,8 +122,17 @@ class QLinear(fnn.Module):
     @fnn.compact
     def __call__(self, x):
         kernel_init = fnn.initializers.normal(0.02)
-        kernel = self.param("kernel", kernel_init,
-                            (x.shape[-1], self.features), self.dtype)
+        # packed leaves bypass self.param: flax's init-shape check
+        # compares the first pytree leaf against (in, features), which
+        # only PackedMX's (K, N) codes happen to satisfy
+        existing = (self.get_variable("params", "kernel")
+                    if self.has_variable("params", "kernel") else None)
+        if isinstance(existing, (PackedMX, PackedMXOutlier,
+                                 PackedOutlierNB)):
+            kernel = existing
+        else:
+            kernel = self.param("kernel", kernel_init,
+                                (x.shape[-1], self.features), self.dtype)
         bias = (self.param("bias", fnn.initializers.zeros,
                            (self.features,), self.dtype)
                 if self.use_bias else None)
@@ -132,8 +141,10 @@ class QLinear(fnn.Module):
         # forward-hook Catcher, llm/llama.py:79-95). No-op otherwise.
         self.sow("intermediates", "gptq_input", x,
                  init_fn=lambda: (), reduce_fn=lambda _, v: (v,))
-        if isinstance(kernel, (PackedMX, PackedMXOutlier)):
+        if isinstance(kernel, (PackedMX, PackedMXOutlier, PackedOutlierNB)):
             from ..ops.pallas import (dequant_matmul,
+                                      dequant_matmul_nb,
+                                      dequant_matmul_nb_reference,
                                       dequant_matmul_outlier,
                                       dequant_matmul_outlier_reference,
                                       dequant_matmul_reference)
@@ -147,6 +158,9 @@ class QLinear(fnn.Module):
             fused = self.use_pallas and ntok < 256
             if isinstance(kernel, PackedMX):
                 f = dequant_matmul if fused else dequant_matmul_reference
+            elif isinstance(kernel, PackedOutlierNB):
+                f = (dequant_matmul_nb if fused
+                     else dequant_matmul_nb_reference)
             else:
                 f = (dequant_matmul_outlier if fused
                      else dequant_matmul_outlier_reference)

@@ -204,12 +204,17 @@ class QuantizedLinear(fnn.Module):
 
     @fnn.compact
     def __call__(self, x, packed):
-        from ..ops.pallas import (dequant_matmul, dequant_matmul_outlier,
+        from ..ops.pallas import (dequant_matmul, dequant_matmul_nb,
+                                  dequant_matmul_nb_reference,
+                                  dequant_matmul_outlier,
                                   dequant_matmul_outlier_reference,
                                   dequant_matmul_reference)
-        from ..ops.packing import PackedMX
+        from ..ops.packing import PackedMX, PackedOutlierNB
         if isinstance(packed, PackedMX):
             f = dequant_matmul if self.use_pallas else dequant_matmul_reference
+        elif isinstance(packed, PackedOutlierNB):
+            f = (dequant_matmul_nb if self.use_pallas
+                 else dequant_matmul_nb_reference)
         else:
             f = (dequant_matmul_outlier if self.use_pallas
                  else dequant_matmul_outlier_reference)

@@ -78,21 +78,36 @@ def quantize_params(params, mx_specs: MxSpecs,
 def pack_params(params, mx_specs: MxSpecs,
                 skip: Sequence[str] = ("lm_head",),
                 outlier_budget: int = 0,
-                outlier_transport: str = "emi8m"):
+                outlier_transport: str = "emi8m",
+                decisions: dict = None):
     """Pack every linear kernel into PackedMX(axis=0) for the fused GEMM.
 
     Kernels are assumed flax-style (in_features, out_features); the
     contraction axis 0 is blocked. Returns a pytree where packed leaves
     replace the kernels.
+
+    outlier_transport="compact" builds the paper-bit-budget
+    :class:`~..ops.packing.PackedOutlierNB` leaves (~3.5-4 bits/element)
+    from GPTQ quantization *decisions*
+    (``gptq_quantize_model(collect_decisions=True)``), keyed by the same
+    path tuples this walker sees. Kernels without decisions fall back to
+    the absolute emi8m stream.
     """
     targets = set(find_linear_params(params, skip).keys())
+    decisions = decisions or {}
 
     def visit(path, leaf):
         keys = tuple(getattr(p, "key", getattr(p, "idx", str(p)))
                      for p in path)
         if keys in targets:
+            if outlier_transport == "compact" and keys in decisions:
+                return packing.pack_outlier_nb(
+                    decisions[keys], budget=outlier_budget,
+                    elem_format=mx_specs["w_elem_format"],
+                    outlier_format=(mx_specs["w_outlier_elem_format"]
+                                    or "fp4_e2m1"))
             if outlier_budget > 0:
-                if outlier_transport == "emi8m":
+                if outlier_transport in ("emi8m", "compact"):
                     # absolute per-element byte stream: exact for ANY
                     # quantization geometry — in particular the GPTQ
                     # drivers' out-axis 16-blocks (llm/opt.py:87-94),
@@ -116,7 +131,7 @@ def pack_params(params, mx_specs: MxSpecs,
                     std_dev=mx_specs["outlier_std_dev"],
                     block_size=mx_specs["block_size"],
                     outlier_budget=outlier_budget, axis=0)
-                if outlier_transport == "emi8m":
+                if outlier_transport in ("emi8m", "compact"):
                     try:
                         return packing.merge_outlier_emi8(p)
                     except ValueError:
@@ -143,6 +158,33 @@ def _concat_kernels(kernels):
     (in, out) arrays and PackedMX(axis=0) leaves (codes and scale_exp
     concat along N — block layout along K is unchanged)."""
     first = kernels[0]
+    if isinstance(first, packing.PackedOutlierNB):
+        # concat along N = axis 0 of the transposed (N, K) storage; exact
+        # only when every segment is a whole number of blocks
+        assert all(isinstance(k, packing.PackedOutlierNB)
+                   and k.orig_n % k.block_size == 0
+                   and k.block_size == first.block_size
+                   and k.orig_k == first.orig_k for k in kernels)
+        budget = max(k.budget for k in kernels)
+
+        def padb(k):
+            if k.budget == budget:
+                return k.out_byte
+            pad = jnp.zeros((budget - k.budget,) + k.out_byte.shape[1:],
+                            k.out_byte.dtype)
+            return jnp.concatenate([k.out_byte, pad], axis=0)
+
+        import dataclasses as _dc
+
+        return _dc.replace(
+            first,
+            codes=jnp.concatenate([k.codes for k in kernels], axis=0),
+            scale_exp=jnp.concatenate([k.scale_exp for k in kernels],
+                                      axis=0),
+            out_byte=jnp.concatenate([padb(k) for k in kernels], axis=1),
+            out_scale_exp=jnp.concatenate(
+                [k.out_scale_exp for k in kernels], axis=0),
+            orig_n=sum(k.orig_n for k in kernels))
     if isinstance(first, PackedMX):
         for k in kernels[1:]:
             assert (k.elem_format == first.elem_format

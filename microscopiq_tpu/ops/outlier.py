@@ -103,6 +103,7 @@ def _outlier_quantize_core(
     underflow_floor_20: bool,
     want_num_outliers: bool,
     want_decisions: bool = False,
+    max_outliers_per_block: int = 0,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     assert inlier_scale_bits > 0 and outlier_scale_bits > 0
 
@@ -123,6 +124,23 @@ def _outlier_quantize_core(
     stats_axes = axes if stats_on_block_axis else shared_exp_axes
     outlier_pos = extract_outlier_indices(
         A, std_dev, stats_axes, use_abs=stats_use_abs, unbiased=stats_unbiased)
+
+    if max_outliers_per_block:
+        # Hardware-faithful outlier cap (the SCOPE NoC routes a bounded
+        # number of outliers per block, rtl/MicroScopiQ/scope.v:22-50 /
+        # NUM_SCOPES, microscopiq_top.v:22-44): keep only the
+        # `max_outliers_per_block` largest-|A| outliers per block; the
+        # rest quantize as inliers. Stable index tie-break so the kept
+        # COUNT is exact (the compact serving transport's slot budget).
+        assert block_size > 0 and len(shared_exp_axes) == 1
+        ba = shared_exp_axes[0]
+        Am = jnp.moveaxis(jnp.abs(A) * outlier_pos, ba, -1)
+        flat = Am.reshape(-1, Am.shape[-1])
+        order = jnp.argsort(-flat, axis=1, stable=True)
+        ranks = jnp.argsort(order, axis=1, stable=True)  # inverse perm
+        keep = (ranks < max_outliers_per_block).reshape(Am.shape)
+        outlier_pos = outlier_pos * jnp.moveaxis(keep, -1, ba).astype(
+            outlier_pos.dtype)
 
     num_outliers = None
     if want_num_outliers:
@@ -208,10 +226,14 @@ def quantize_mx_outlier_hessian(
     block_size: int = 0,
     round: str = "nearest",
     flush_fp32_subnorms: bool = False,
+    max_outliers_per_block: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """GPTQ-loop outlier quantizer; returns (quantized A, outlier counts).
 
-    Parity target: ``utils/quant.py:23-146``.
+    Parity target: ``utils/quant.py:23-146``. ``max_outliers_per_block``
+    (0 = reference behavior, unbounded) keeps only the k largest-|A|
+    outliers per block — the hardware's bounded SCOPE routing, and the
+    slot budget of the compact serving transport.
     """
     if inlier_elem_format is None:
         return A, jnp.zeros((), jnp.int8)
@@ -221,7 +243,8 @@ def quantize_mx_outlier_hessian(
         shared_exp_method, std_dev, axes, block_size, round,
         flush_fp32_subnorms,
         stats_use_abs=True, stats_unbiased=False, stats_on_block_axis=False,
-        underflow_floor_20=True, want_num_outliers=True)
+        underflow_floor_20=True, want_num_outliers=True,
+        max_outliers_per_block=max_outliers_per_block)
 
 
 def quantize_mx_outlier_hessian_decisions(
@@ -236,6 +259,7 @@ def quantize_mx_outlier_hessian_decisions(
     block_size: int = 0,
     round: str = "nearest",
     flush_fp32_subnorms: bool = False,
+    max_outliers_per_block: int = 0,
 ):
     """Like :func:`quantize_mx_outlier_hessian` but also returns the
     quantization *decisions* (pre-scale codes, outlier mask, both shared
@@ -257,7 +281,7 @@ def quantize_mx_outlier_hessian_decisions(
         flush_fp32_subnorms,
         stats_use_abs=True, stats_unbiased=False, stats_on_block_axis=False,
         underflow_floor_20=True, want_num_outliers=True,
-        want_decisions=True)
+        want_decisions=True, max_outliers_per_block=max_outliers_per_block)
 
 
 def quantize_mx_outlier_v1(

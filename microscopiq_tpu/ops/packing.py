@@ -873,3 +873,144 @@ def unpack_fp6(packed: jax.Array, fmt: str = "fp6_e3m2") -> jax.Array:
     codes = jnp.stack([c0, c1, c2, c3], axis=-1)
     codes = codes.reshape(codes.shape[:-2] + (-1,))
     return decode_fp_bits(codes, fmt)
+
+
+# ---------------------------------------------------------------------------
+# Compact N-blocked serving transport (the paper's bit budget)
+# ---------------------------------------------------------------------------
+@flax.struct.dataclass
+class PackedOutlierNB:
+    """MicroScopiQ compact serving transport: the GPTQ drivers' out-axis
+    16-element blocks (``llm/opt.py:87-94`` axes=[0]) at the paper's bit
+    budget (~3.5 bits/element for int2+fp4 budget-1), replacing the 8-bit
+    absolute emi8m stream.
+
+    The out axis cannot ride the scale-after-dot kernels (its shared
+    exponents vary along the contraction axis), so storage is transposed
+    ``(N, K)`` with N on sublanes: the per-block scale expansion and the
+    sub-byte unpack are then free sublane regroups, mirroring how the RTL
+    streams one block per PE column (``microscopiq_top.v:22-44``), and the
+    budget-slot outlier scatter is the SCOPE-NoC routing
+    (``scope.v:22-50``) as masked sublane selects.
+
+    codes:         (Np//4, K) int8 — sb2-packed int2 inlier codes along N
+                   (blockwise interleave, :func:`_subbyte_pack` layout).
+    scale_exp:     (NB, K) int8 — level-1 (inlier) shared exponents.
+    out_byte:      (budget, NB, K) int8 — ``pos<<4 | fp4_bits``; an empty
+                   slot stores fp4 code 0 (+0), which contributes nothing.
+    out_scale_exp: (NB, K) int8 — level-2 (outlier) shared exponents.
+
+    Dequant: ``W[n,k] = inl·2^L1 + fp4(code)·2^(L2-L1)`` at the slot
+    positions — the ``scale_compute.v:55-57`` two-level merge.
+    """
+
+    codes: jax.Array
+    scale_exp: jax.Array
+    out_byte: jax.Array
+    out_scale_exp: jax.Array
+    elem_format: str = flax.struct.field(pytree_node=False)
+    outlier_format: str = flax.struct.field(pytree_node=False)
+    block_size: int = flax.struct.field(pytree_node=False)
+    orig_n: int = flax.struct.field(pytree_node=False)
+    orig_k: int = flax.struct.field(pytree_node=False)
+
+    @property
+    def budget(self) -> int:
+        return self.out_byte.shape[0]
+
+    @property
+    def bits_per_element(self) -> float:
+        """Realized bits per weight element (all streams)."""
+        n_el = self.orig_n * self.orig_k
+        bits = (self.codes.size * 8 + self.scale_exp.size * 8
+                + self.out_byte.size * 8 + self.out_scale_exp.size * 8)
+        return bits / n_el
+
+
+def pack_outlier_nb(decisions: dict, budget: int = 0,
+                    elem_format: str = "int2",
+                    outlier_format: str = "fp4_e2m1") -> PackedOutlierNB:
+    """Build the compact transport from GPTQ quantization *decisions*
+    (:func:`..outlier.quantize_mx_outlier_hessian_decisions` via
+    ``GPTQ.fasterquant(collect_decisions=True)``). Exact by construction:
+    re-deriving outlier masks from fake-quant values is not faithful.
+
+    decisions arrays follow the GPTQ weight layout ``(out=N, in=K)`` with
+    blocks along N. ``budget=0`` auto-sizes to the max per-block outlier
+    count (lossless); a smaller explicit budget raises if any block
+    overflows — cap at quantization time instead
+    (``MXQuantizer(max_outliers_per_block=...)``).
+    """
+    import numpy as np
+
+    bs = int(decisions["block_size"])
+    inl = np.asarray(decisions["inl_code"], np.float32)      # (N, K)
+    out = np.asarray(decisions["out_code"], np.float32)      # (N, K)
+    mask = np.asarray(decisions["mask"]) != 0                # (N, K)
+    se_in = np.asarray(decisions["se_in"]).astype(np.int8)   # (NB, K)
+    se_out = np.asarray(decisions["se_out"]).astype(np.int8)
+    N, K = inl.shape
+    assert bs == 16, "compact transport is specified for block 16"
+    pad = (-N) % bs
+    if pad:
+        z = np.zeros((pad, K), np.float32)
+        inl = np.concatenate([inl, z]); out = np.concatenate([out, z])
+        mask = np.concatenate([mask, z.astype(bool)])
+    Np = inl.shape[0]
+    nb = Np // bs
+
+    # inlier codes -> int2 container codes, sb2-packed along N
+    _, mbits, _, _, _ = get_format_params(elem_format)
+    icodes = np.round(inl * (2.0 ** (mbits - 2))).astype(np.int8)
+    packed = np.asarray(_subbyte_pack(jnp.asarray(icodes.T), bs, 4, 2)).T
+
+    # outlier side-band: stable-order gather of up to `budget` per block.
+    # A nonzero fp4 code with value 0 cannot occur (codes are grid values),
+    # so empty slot == byte 0 is unambiguous and contributes +0.
+    mb = mask.reshape(nb, bs, K)
+    counts = mb.sum(axis=1)
+    maxc = int(counts.max()) if counts.size else 0
+    if budget == 0:
+        budget = max(maxc, 1)
+    elif maxc > budget:
+        raise ValueError(
+            f"{maxc} outliers in a block exceed budget {budget}; quantize "
+            "with max_outliers_per_block to cap at calibration time")
+    order = np.argsort(~mb, axis=1, kind="stable")[:, :budget, :]  # (nb,b,K)
+    ob = out.reshape(nb, bs, K)
+    sel_val = np.take_along_axis(ob, order, axis=1)
+    sel_msk = np.take_along_axis(mb, order, axis=1)
+    fp4 = np.asarray(encode_fp_bits(jnp.asarray(sel_val), outlier_format))
+    fp4 = np.where(sel_msk, fp4, 0).astype(np.uint8)
+    pos = np.where(sel_msk, order, 0).astype(np.uint8)
+    out_byte = ((pos << 4) | (fp4 & 0xF)).astype(np.int8)    # (nb, b, K)
+    out_byte = np.moveaxis(out_byte, 1, 0)                   # (b, nb, K)
+
+    return PackedOutlierNB(
+        codes=jnp.asarray(packed), scale_exp=jnp.asarray(se_in),
+        out_byte=jnp.asarray(out_byte), out_scale_exp=jnp.asarray(se_out),
+        elem_format=elem_format, outlier_format=outlier_format,
+        block_size=bs, orig_n=N, orig_k=K)
+
+
+def dequantize_outlier_nb(p: PackedOutlierNB, dtype=jnp.float32) -> jax.Array:
+    """Dense (N, K) tensor from the compact transport (pure-JAX twin of
+    the kernel decode; bit-exact vs the GPTQ fake-quant output)."""
+    bs = p.block_size
+    icodes = _subbyte_unpack(p.codes.T, bs, 4, 2).T          # (Np, K)
+    Np, K = icodes.shape
+    nb = Np // bs
+    vals = _code_decode(icodes, p.elem_format)               # f32
+    se_in = p.scale_exp.astype(jnp.float32)                  # (nb, K)
+    v3 = mul_pow2(vals.reshape(nb, bs, K), se_in[:, None, :])
+
+    b = p.out_byte.astype(jnp.int32) & 0xFF                  # (budget, nb, K)
+    pos = b >> 4
+    oval = decode_fp_bits(b & 0xF, p.outlier_format)         # f32 grid
+    rel = p.out_scale_exp.astype(jnp.float32) - se_in        # (nb, K)
+    contrib = mul_pow2(oval, rel[None])                      # (budget, nb, K)
+    row = lax.broadcasted_iota(jnp.int32, (nb, bs, K), 1)
+    for s in range(p.out_byte.shape[0]):
+        v3 = v3 + jnp.where(row == pos[s][:, None, :],
+                            contrib[s][:, None, :], 0.0)
+    return v3.reshape(Np, K)[:p.orig_n].astype(dtype)

@@ -3,6 +3,8 @@ attention. Each kernel has a pure-JAX twin for differential testing."""
 
 from .dequant_matmul import (  # noqa: F401
     dequant_matmul,
+    dequant_matmul_nb,
+    dequant_matmul_nb_reference,
     dequant_matmul_outlier,
     dequant_matmul_outlier_reference,
     dequant_matmul_reference,

@@ -563,3 +563,147 @@ def dequant_matmul_outlier_reference(x: jax.Array, w: PackedMXOutlier,
         (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     return y.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Compact N-blocked kernel (the paper-bit-budget int2+fp4 serving GEMV)
+#
+# The GPTQ drivers' outlier format blocks along the OUT-features axis
+# (llm/opt.py:87-94 axes=[0]), so its shared exponents vary along the
+# contraction axis and cannot ride the scale-after-dot kernels. Storage is
+# transposed (N, K): the out-axis blocks land on SUBLANES, where the sb2
+# unpack and the per-block scale expansion are free sublane regroups, and
+# the fixed-budget outlier scatter is one masked select per slot (the
+# SCOPE-NoC routing stage, rtl/MicroScopiQ/scope.v:22-50). HBM traffic is
+# ~3.5-4 bits/element (vs 8 for the absolute emi8m stream).
+# ---------------------------------------------------------------------------
+def _nb_kernel(xt_ref, c_ref, se_ref, seo_ref, ob_ref, out_ref, acc_ref,
+               *, nk: int, block_size: int, budget: int, fold: int,
+               out_dtype):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    B = block_size
+    # sb2 inlier unpack: 4 codes/byte along the sublane (N) axis,
+    # blockwise interleave (packing._subbyte_pack) -> shift-extracts +
+    # one sublane concat
+    p2 = c_ref[:]                                       # (TN//4, TK) int8
+    tn4, tk = p2.shape
+    tnb = tn4 * 4 // B
+    p3 = p2.reshape(tnb, B // 4, tk).astype(jnp.int32)
+    fields = []
+    for i in range(4):
+        f = lax.shift_left(p3 >> (2 * i), 30)
+        fields.append(lax.shift_right_arithmetic(f, 30))
+    c = jnp.concatenate(fields, axis=1)                 # (TNB, B, TK)
+
+    se = se_ref[:].astype(jnp.int32)                    # (TNB, TK)
+    w = c.astype(jnp.bfloat16) * _exp2_i32(se - fold).astype(
+        jnp.bfloat16)[:, None, :]
+
+    # outlier side-band: byte = pos<<4 | fp4 bits; value contribution is
+    # sign·M·2^(max(e-1,0)) · 2^(L2-L1-1)  (the 2^-1 is fp4's grid step)
+    seo = seo_ref[:].astype(jnp.int32)
+    osc = _exp2_i32(seo - se - 1).astype(jnp.bfloat16)  # (TNB, TK)
+    row = lax.broadcasted_iota(jnp.int32, (tnb, B, tk), 1)
+    for s in range(budget):
+        b = ob_ref[s].astype(jnp.int32) & 0xFF          # (TNB, TK)
+        pos = b >> 4
+        e = (b >> 1) & 3
+        m = b & 1
+        sgn = (b >> 3) & 1
+        mag = lax.shift_left(m + 2 * jnp.minimum(e, 1),
+                             jnp.maximum(e - 1, 0))
+        val = (mag * (1 - 2 * sgn)).astype(jnp.bfloat16) * osc
+        w = w + jnp.where(row == pos[:, None, :],
+                          val[:, None, :], jnp.bfloat16(0.0))
+
+    xt = xt_ref[:]                                      # (TM, TK) bf16
+    acc_ref[:] += lax.dot_general(
+        w.reshape(tnb * B, tk), xt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # (TN, TM)
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def dequant_matmul_nb(x: jax.Array, w: "pk.PackedOutlierNB",
+                      out_dtype=jnp.float32,
+                      interpret: bool = False) -> jax.Array:
+    """y = x @ dequant(w)^T-layout for the compact N-blocked transport.
+
+    x: (..., K); w stores the (N, K) transposed weight. Output (..., N).
+    """
+    B = w.block_size
+    budget = w.budget
+    fold = _scale_fold(w.elem_format)
+    lead = x.shape[:-1]
+    Np4, K = w.codes.shape
+    Np = Np4 * 4
+    NB = Np // B
+    N = w.orig_n
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
+    M = x2.shape[0]
+
+    TM = _round_up(max(M, 1), 8)
+    TN = min(512, Np)
+    TK = 512
+    while TK > K and TK > 128:
+        TK //= 2
+    Mp, Np2, Kp = _round_up(M, TM), _round_up(Np, TN), _round_up(K, TK)
+
+    x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp - K)))
+    codes = jnp.pad(w.codes, ((0, (Np2 - Np) // 4), (0, Kp - K)))
+    se = jnp.pad(w.scale_exp, ((0, (Np2 - Np) // B), (0, Kp - K)))
+    seo = jnp.pad(w.out_scale_exp, ((0, (Np2 - Np) // B), (0, Kp - K)))
+    ob = jnp.pad(w.out_byte, ((0, 0), (0, (Np2 - Np) // B), (0, Kp - K)))
+
+    nk = Kp // TK
+    grid = (Np2 // TN, nk)
+    tnb = TN // B
+
+    out = pl.pallas_call(
+        functools.partial(_nb_kernel, nk=nk, block_size=B, budget=budget,
+                          fold=fold, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TK), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN // 4, TK), lambda i, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tnb, TK), lambda i, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tnb, TK), lambda i, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((budget, tnb, TK), lambda i, k: (0, i, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TN, TM), lambda i, k: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np2, Mp), out_dtype),
+        scratch_shapes=[pltpu.VMEM((TN, TM), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np2 * Kp,
+            bytes_accessed=(Np2 * Kp) // 4 + 3 * NB * Kp + Mp * Kp * 2
+            + Np2 * Mp * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(x2, codes, se, seo, ob)
+    return out[:N, :M].T.reshape(lead + (N,))
+
+
+def dequant_matmul_nb_reference(x: jax.Array, w: "pk.PackedOutlierNB",
+                                out_dtype=jnp.float32) -> jax.Array:
+    """Pure-JAX twin: dequant to bf16, bf16 dot, f32 accumulate."""
+    dense = pk.dequantize_outlier_nb(w, dtype=jnp.bfloat16)   # (N, K)
+    y = lax.dot_general(
+        x.astype(jnp.bfloat16), dense,
+        (((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return y.astype(out_dtype)

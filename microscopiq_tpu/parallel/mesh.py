@@ -26,7 +26,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.packing import PackedMX, PackedMXOutlier
+from ..ops.packing import PackedMX, PackedMXOutlier, PackedOutlierNB
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -83,7 +83,7 @@ def param_shardings(params, mesh: Mesh):
 
     def visit(path, leaf):
         ps = _path_str(path)
-        if isinstance(leaf, (PackedMX, PackedMXOutlier)):
+        if isinstance(leaf, (PackedMX, PackedMXOutlier, PackedOutlierNB)):
             raise TypeError("packed leaves handled via is_leaf")
         spec = _spec_for_path(ps)
         # guard: don't shard axes that don't divide
@@ -103,13 +103,14 @@ def param_shardings(params, mesh: Mesh):
         return _packed_sharding(leaf, spec, mesh)
 
     def dispatch(path, leaf):
-        if isinstance(leaf, (PackedMX, PackedMXOutlier)):
+        if isinstance(leaf, (PackedMX, PackedMXOutlier, PackedOutlierNB)):
             return visit_packed(path, leaf)
         return visit(path, leaf)
 
     return jax.tree_util.tree_map_with_path(
         dispatch, params,
-        is_leaf=lambda x: isinstance(x, (PackedMX, PackedMXOutlier)))
+        is_leaf=lambda x: isinstance(
+            x, (PackedMX, PackedMXOutlier, PackedOutlierNB)))
 
 
 def _packed_sharding(leaf, kernel_spec: P, mesh: Mesh):
@@ -121,6 +122,25 @@ def _packed_sharding(leaf, kernel_spec: P, mesh: Mesh):
     def ns(*spec):
         return NamedSharding(mesh, P(*spec))
 
+    if isinstance(leaf, PackedOutlierNB):
+        # transposed (N, K) storage: the kernel's N axis is dim 0 of
+        # codes/scales and dim 1 of the slot planes. Only shard when the
+        # SUB-BYTE row count and the block count divide the axis size.
+        def fits(axis, *dims):
+            if axis is None:
+                return None
+            sz = mesh.shape.get(axis, 1)
+            return axis if all(d % sz == 0 for d in dims) else None
+
+        n0 = fits(n_ax, leaf.codes.shape[0], leaf.scale_exp.shape[0])
+        k1 = fits(k_ax, leaf.codes.shape[1])
+        return PackedOutlierNB(
+            codes=ns(n0, k1), scale_exp=ns(n0, k1),
+            out_byte=ns(None, n0, k1), out_scale_exp=ns(n0, k1),
+            elem_format=leaf.elem_format,
+            outlier_format=leaf.outlier_format,
+            block_size=leaf.block_size, orig_n=leaf.orig_n,
+            orig_k=leaf.orig_k)
     if isinstance(leaf, PackedMX):
         return PackedMX(
             codes=ns(k_ax, n_ax), scale_exp=ns(k_ax, n_ax),
@@ -145,3 +165,34 @@ def shard_params(params, mesh: Mesh):
     sh = param_shardings(params, mesh)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), params, sh)
+
+
+def kv_state_shardings(state, mesh: Mesh):
+    """NamedShardings for a KV-cache state (Dense/Quant KVState): batch on
+    `data`, kv heads on `model` (the TP layout the sharded attention
+    produces), scalars/lengths replicated. Non-dividing axes fall back to
+    replicated. Buffers are (L, B, KVH, ...)."""
+
+    def vis(leaf):
+        nd = getattr(leaf, "ndim", None)
+        if leaf is None or nd is None:
+            return None
+        spec = [None] * nd
+        if nd >= 3:
+            if leaf.shape[1] % mesh.shape.get("data", 1) == 0:
+                spec[1] = "data"
+            if leaf.shape[2] % mesh.shape.get("model", 1) == 0:
+                spec[2] = "model"
+        elif nd == 1:
+            if leaf.shape[0] % mesh.shape.get("data", 1) == 0:
+                spec[0] = "data"
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(vis, state)
+
+
+def shard_kv_state(state, mesh: Mesh):
+    sh = kv_state_shardings(state, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s) if s is not None else x,
+        state, sh)

@@ -74,6 +74,7 @@ def sequential_gptq(
     actorder: bool = False,
     mode: str = "mx_prune",
     verbose: bool = True,
+    collect_decisions: bool = False,
 ) -> List[dict]:
     """Run GPTQ layer by layer.
 
@@ -87,6 +88,7 @@ def sequential_gptq(
     """
     n_layers = len(layer_params)
     out_params = []
+    out_decisions: List[Dict[str, dict]] = []
     x = hidden
 
     apply_fn = jax.jit(
@@ -101,6 +103,7 @@ def sequential_gptq(
         params_i = jax.device_get(params_i)  # plain nested dict of arrays
         params_i = jax.tree_util.tree_map(jnp.asarray, params_i)
         extra = layer_extra_inputs(i, x)
+        dec_i: Dict[str, dict] = {}
 
         for group in groups:
             present = [p for p in group
@@ -125,8 +128,10 @@ def sequential_gptq(
             for p in present:
                 Q, _ = gptqs[p].fasterquant(
                     blocksize=blocksize, percdamp=percdamp,
-                    actorder=actorder)
+                    actorder=actorder, collect_decisions=collect_decisions)
                 _get(params_i, p)["kernel"] = Q.T  # back to (in, out)
+                if collect_decisions:
+                    dec_i[p] = gptqs[p].decisions
                 gptqs[p].free()
 
         # propagate hidden states through the quantized layer
@@ -136,9 +141,10 @@ def sequential_gptq(
             outs.append(y)
         x = jnp.concatenate(outs, axis=0)
         out_params.append(params_i)
+        out_decisions.append(dec_i)
         if verbose:
             print(f"layer {i}: {time.time() - t0:.1f}s")
-    return out_params, x
+    return out_params, x, out_decisions
 
 
 def _path_exists(tree, path: str) -> bool:
@@ -158,7 +164,8 @@ def gptq_quantize_model(kind: str, cfg, params, calib_ids: jax.Array,
                         mode: str = "mx_prune", blocksize: int = 128,
                         percdamp: float = 0.01, actorder: bool = False,
                         nsamples_batch: int = 8, verbose: bool = True,
-                        groups: Optional[Sequence[Sequence[str]]] = None):
+                        groups: Optional[Sequence[Sequence[str]]] = None,
+                        collect_decisions: bool = False):
     """GPTQ-quantize every decoder layer of a Llama/OPT model.
 
     calib_ids: (nsamples, seqlen) int token crops (reference: nsamples
@@ -202,10 +209,21 @@ def gptq_quantize_model(kind: str, cfg, params, calib_ids: jax.Array,
         raise ValueError(kind)
 
     layer_params = [tree[f"layers_{i}"] for i in range(cfg.num_hidden_layers)]
-    new_layers, _ = sequential_gptq(
+    new_layers, _, layer_decisions = sequential_gptq(
         layer_module, layer_params, hidden, extra_fn, quantizer,
         groups=groups, nsamples_batch=nsamples_batch, blocksize=blocksize,
-        percdamp=percdamp, actorder=actorder, mode=mode, verbose=verbose)
+        percdamp=percdamp, actorder=actorder, mode=mode, verbose=verbose,
+        collect_decisions=collect_decisions)
     for i, lp in enumerate(new_layers):
         tree[f"layers_{i}"] = lp
+    if collect_decisions:
+        # flat map keyed by the full params path of each kernel leaf, the
+        # key scheme pack_params walks (find_linear_params)
+        prefix = ("model",) if kind == "llama" else ()
+        decisions = {
+            prefix + (f"layers_{i}",) + tuple(path.split("/")) + ("kernel",):
+                dec
+            for i, dec_i in enumerate(layer_decisions)
+            for path, dec in dec_i.items()}
+        return {"params": p}, decisions
     return {"params": p}

@@ -56,18 +56,19 @@ def _make_block_fn(qcfg: tuple, mode: str, rows: int, count: int,
     exponents) so the packed serving transport can reproduce Q exactly
     (see quantize_mx_outlier_hessian_decisions).
     """
-    (in_sb, out_sb, in_fmt, out_fmt, sem, std_dev, axes, bsz, rnd, flush) = qcfg
+    (in_sb, out_sb, in_fmt, out_fmt, sem, std_dev, axes, bsz, rnd, flush,
+     cap) = qcfg
 
     def quantize_col(w):
         if mode == "mx_prune" or mode == "mx_hessian":
             if collect_decisions:
                 q, n_out, dec = quantize_mx_outlier_hessian_decisions(
                     w[:, None], in_sb, out_sb, in_fmt, out_fmt, sem,
-                    std_dev, list(axes), bsz, rnd, flush)
+                    std_dev, list(axes), bsz, rnd, flush, cap)
                 return q[:, 0], n_out, dec
             q, n_out = quantize_mx_outlier_hessian(
                 w[:, None], in_sb, out_sb, in_fmt, out_fmt, sem, std_dev,
-                list(axes), bsz, rnd, flush)
+                list(axes), bsz, rnd, flush, cap)
             return q[:, 0], n_out, None
         elif mode == "mx_v1":
             q = quantize_mx_outlier_v1(
@@ -210,7 +211,8 @@ class GPTQ:
         qcfg = (qz.inlier_scale_bits, qz.outlier_scale_bits,
                 qz.inlier_elem_format, qz.outlier_elem_format,
                 qz.shared_exp_method, qz.std_dev, tuple(qz.axes),
-                qz.block_size, qz.round, qz.flush_fp32_subnorms)
+                qz.block_size, qz.round, qz.flush_fp32_subnorms,
+                getattr(qz, "max_outliers_per_block", 0))
 
         Q = jnp.zeros_like(W)
         losses = jnp.zeros_like(W)

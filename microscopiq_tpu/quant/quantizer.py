@@ -162,6 +162,10 @@ class MXQuantizer:
     block_size: int = 16
     round: str = "nearest"
     flush_fp32_subnorms: bool = False
+    # 0 = reference behavior (unbounded); >0 keeps only the k largest-|A|
+    # outliers per block (hardware SCOPE routing bound; the compact
+    # serving transport's slot budget)
+    max_outliers_per_block: int = 0
 
     def configure(self, inlier_scale_bits, outlier_scale_bits,
                   inlier_elem_format, outlier_elem_format,
@@ -194,7 +198,8 @@ class MXQuantizer:
             x, self.inlier_scale_bits, self.outlier_scale_bits,
             self.inlier_elem_format, self.outlier_elem_format,
             self.shared_exp_method, self.std_dev, list(self.axes),
-            self.block_size, self.round, self.flush_fp32_subnorms)
+            self.block_size, self.round, self.flush_fp32_subnorms,
+            self.max_outliers_per_block)
 
     def enabled(self):
         return self.inlier_elem_format is not None

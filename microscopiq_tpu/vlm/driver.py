@@ -61,7 +61,7 @@ def llava_sequential(model: LlavaForCausalLM, params,
     tree = p["model"]
     layer_params = [tree[f"layers_{i}"]
                     for i in range(cfg.text.num_hidden_layers)]
-    new_layers, _ = sequential_gptq(
+    new_layers, _, _ = sequential_gptq(
         DecoderLayer(cfg.text), layer_params, hidden,
         lambda i, x: (positions, mask, None, i), quantizer,
         groups=LLAMA_GROUPS, nsamples_batch=nsamples_batch,

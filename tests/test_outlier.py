@@ -65,3 +65,41 @@ def test_none_format_passthrough():
     out = quantize_mx_outlier_v1(a, 8, 8, None, "fp4_e2m1",
                                  axes=[0], block_size=16)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(a))
+
+
+def test_max_outliers_per_block_cap():
+    """The hardware-faithful cap keeps exactly the k largest-|A| outliers
+    per block; cap=0 reproduces the reference (unbounded) behavior."""
+    from microscopiq_tpu.ops.outlier import (
+        quantize_mx_outlier_hessian, quantize_mx_outlier_hessian_decisions)
+
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((64, 1)).astype(np.float32)
+    A[rng.random(A.shape) < 0.3] *= 6.0   # many outliers per block
+
+    q0, n0 = quantize_mx_outlier_hessian(
+        jnp.asarray(A), 8, 8, "int2", "fp4", "max", 2.0, [0], 16)
+    q0c, n0c = quantize_mx_outlier_hessian(
+        jnp.asarray(A), 8, 8, "int2", "fp4", "max", 2.0, [0], 16,
+        max_outliers_per_block=0)
+    np.testing.assert_array_equal(np.asarray(q0), np.asarray(q0c))
+
+    _, _, dec = quantize_mx_outlier_hessian_decisions(
+        jnp.asarray(A), 8, 8, "int2", "fp4", "max", 2.0, [0], 16,
+        max_outliers_per_block=2)
+    mask = np.asarray(dec["mask"]).reshape(-1, 16)
+    counts = (mask != 0).sum(axis=1)
+    assert counts.max() <= 2
+    # capped outliers are the largest-|A| of the uncapped mask
+    _, _, dec0 = quantize_mx_outlier_hessian_decisions(
+        jnp.asarray(A), 8, 8, "int2", "fp4", "max", 2.0, [0], 16)
+    m0 = np.asarray(dec0["mask"]).reshape(-1, 16) != 0
+    a = np.abs(A.reshape(-1, 16))
+    for b in range(m0.shape[0]):
+        kept = np.flatnonzero(mask[b])
+        if m0[b].sum() <= 2:
+            assert set(kept) == set(np.flatnonzero(m0[b]))
+        else:
+            top2 = np.flatnonzero(m0[b])[
+                np.argsort(-a[b][m0[b].astype(bool)], kind="stable")][:2]
+            assert set(kept) == set(top2)

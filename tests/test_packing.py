@@ -296,3 +296,64 @@ def test_pack_emi8m_absolute_rejects_unrepresentable():
     raw = jnp.asarray(rng.standard_normal((32, 32)).astype(np.float32))
     with pytest.raises(ValueError):
         pack_emi8m_absolute(raw, block_size=16, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Compact N-blocked transport (paper bit budget)
+# ---------------------------------------------------------------------------
+def _gptq_decisions(cap, seed=3, N=96, K=64):
+    from microscopiq_tpu.quant import GPTQ, MXQuantizer
+
+    rng = np.random.default_rng(seed)
+    W = rng.standard_normal((N, K)).astype(np.float32)
+    W[rng.random(W.shape) < 0.05] *= 8.0
+    X = rng.standard_normal((4, 16, K)).astype(np.float32)
+    g = GPTQ(jnp.asarray(W), mode="mx_prune")
+    g.quantizer = MXQuantizer(8, 8, "int2", "fp4", std_dev=2.0, axes=(0,),
+                              block_size=16, max_outliers_per_block=cap)
+    for i in range(X.shape[0]):
+        g.add_batch(jnp.asarray(X[i]))
+    Q, _ = g.fasterquant(blocksize=32, collect_decisions=True)
+    return Q, g.decisions
+
+
+@pytest.mark.parametrize("cap,budget,max_bits", [
+    (0, 0, 16.0),    # auto-sized budget, lossless whatever the count
+    (1, 1, 3.51),    # the paper's 3.5-bit point
+    (2, 2, 4.01),
+])
+def test_pack_outlier_nb_exact(cap, budget, max_bits):
+    """Compact transport must reproduce the GPTQ fake-quant output
+    EXACTLY (decision-threading contract), at the stated bit budget."""
+    from microscopiq_tpu.ops.packing import (dequantize_outlier_nb,
+                                             pack_outlier_nb)
+
+    Q, dec = _gptq_decisions(cap)
+    p = pack_outlier_nb(dec, budget=budget)
+    D = dequantize_outlier_nb(p)
+    np.testing.assert_array_equal(np.asarray(D), np.asarray(Q))
+    assert p.bits_per_element <= max_bits
+
+
+def test_pack_outlier_nb_budget_overflow_raises():
+    from microscopiq_tpu.ops.packing import pack_outlier_nb
+
+    _, dec = _gptq_decisions(cap=0)        # uncapped: blocks exceed 1
+    with pytest.raises(ValueError):
+        pack_outlier_nb(dec, budget=1)
+
+
+def test_dequant_matmul_nb_kernel_matches_reference():
+    from microscopiq_tpu.ops.packing import pack_outlier_nb
+    from microscopiq_tpu.ops.pallas.dequant_matmul import (
+        dequant_matmul_nb, dequant_matmul_nb_reference)
+
+    _, dec = _gptq_decisions(cap=2, N=160, K=128)
+    p = pack_outlier_nb(dec, budget=2)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((3, 128)).astype(np.float32))
+    y_ref = dequant_matmul_nb_reference(x, p)
+    y = dequant_matmul_nb(x, p, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=0,
+        atol=3e-6 * float(jnp.abs(y_ref).max()))

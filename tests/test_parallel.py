@@ -106,3 +106,69 @@ def test_nondividing_axes_fall_back_to_replicated():
     tree = {"mlp": {"gate_proj": {"kernel": jnp.ones((16, 12))}}}
     sh = param_shardings(tree, mesh)
     assert sh["mlp"]["gate_proj"]["kernel"].spec == P(None, None)
+
+
+def test_sharded_quant_kv_decode_matches():
+    """The multi-chip SERVING path: quantized-KV cache sharded over the
+    mesh (batch on data, kv heads on model) + TP-sharded weights must
+    decode token-identically to the single-device run."""
+    from microscopiq_tpu.eval.generate import generate
+    from microscopiq_tpu.kv.cache import QuantKVConfig
+
+    cfg, model, params, ids = _tiny()
+    qcfg = QuantKVConfig(bits=4, gap=8)
+    out0 = generate(model, params, np.asarray(ids), max_new_tokens=4,
+                    cache_kind="quant", quant_cfg=qcfg)
+    mesh = make_mesh(8, data=2, model=4)
+    p_sh = {"params": shard_params(params["params"], mesh)}
+    out1 = generate(model, p_sh, np.asarray(ids), max_new_tokens=4,
+                    cache_kind="quant", quant_cfg=qcfg)
+    np.testing.assert_array_equal(out0, out1)
+
+
+def test_kv_state_shardings_layout():
+    from microscopiq_tpu.kv.cache import QuantKVConfig, init_quant_cache
+    from microscopiq_tpu.parallel import kv_state_shardings, shard_kv_state
+
+    mesh = make_mesh(8, data=2, model=4)
+    st = init_quant_cache(2, 4, 64, 4, 16, QuantKVConfig(bits=4, gap=8))
+    sh = kv_state_shardings(st, mesh)
+    assert sh.kq.spec == P(None, "data", "model")[:2] + P("model",) \
+        or sh.kq.spec[1] == "data" and sh.kq.spec[2] == "model"
+    st_sh = shard_kv_state(st, mesh)
+    # sharded state is usable and round-trips
+    np.testing.assert_array_equal(np.asarray(st_sh.kq), np.asarray(st.kq))
+
+
+def test_sharded_compact_transport_forward():
+    """PackedOutlierNB (paper-bit-budget transport) shards congruently
+    with its kernel rule and reproduces the single-device forward."""
+    from microscopiq_tpu.ops.packing import (PackedOutlierNB,
+                                             pack_outlier_nb)
+    from microscopiq_tpu.quant import GPTQ, MXQuantizer
+    from microscopiq_tpu.ops.pallas.dequant_matmul import (
+        dequant_matmul_nb_reference)
+
+    N, K = 128, 64
+    W = RNG.standard_normal((N, K)).astype(np.float32)
+    W[RNG.random(W.shape) < 0.05] *= 8.0
+    g = GPTQ(jnp.asarray(W), mode="mx_prune")
+    g.quantizer = MXQuantizer(8, 8, "int2", "fp4", std_dev=2.0, axes=(0,),
+                              block_size=16, max_outliers_per_block=2)
+    g.add_batch(jnp.asarray(
+        RNG.standard_normal((16, K)).astype(np.float32)))
+    _, _ = g.fasterquant(blocksize=32, collect_decisions=True)
+    p = pack_outlier_nb(g.decisions, budget=2)
+
+    x = jnp.asarray(RNG.standard_normal((4, K)).astype(np.float32))
+    y0 = np.asarray(dequant_matmul_nb_reference(x, p))
+
+    mesh = make_mesh(8, data=1, model=8)
+    tree = {"mlp": {"gate_proj": {"kernel": p}}}
+    sh = param_shardings(tree, mesh)
+    nb_sh = sh["mlp"]["gate_proj"]["kernel"]
+    assert nb_sh.codes.spec == P("model", None)
+    assert nb_sh.out_byte.spec == P(None, "model", None)
+    p_sh = jax.tree_util.tree_map(jax.device_put, p, nb_sh)
+    y1 = np.asarray(jax.jit(dequant_matmul_nb_reference)(x, p_sh))
+    np.testing.assert_array_equal(y0, y1)
