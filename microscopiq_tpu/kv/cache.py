@@ -130,13 +130,48 @@ class QuantKVState:
 @dataclasses.dataclass(frozen=True)
 class QuantKVConfig:
     bits: int = 4
-    gap: int = 64            # streaming gap == K channel group size
+    gap: int = 64            # streaming gap (chunk quantization cadence)
     # V feature group size; >= head_dim means per-token V scales — the
     # serving default, because grouped scales (Gh>1) put a tiny dim on
     # the Mosaic lane axis and pad 64x (measured +93 us/layer/operand in
     # the fused kernel; see ops/pallas/quant_attention.py)
     v_group: int = 128
+    # K channel-group size in TOKENS (KIVI group_size,
+    # compress_config.py:63-85): 0 = one group per chunk (== gap, the
+    # round-1 coupling). Must divide gap. Smaller groups = finer K scales
+    # at 16*Gk/gap extra bytes/token (Gk = gap // k_group).
+    k_group: int = 0
+    # number of recent tokens ALWAYS kept full-precision beyond the
+    # in-progress chunk (KIVI residual_length semantics,
+    # modeling_llama_new.py:948-1027): the residual window holds
+    # residual_len + gap slots and a chunk quantizes only once its
+    # tokens are at least residual_len old. 0 = round-1 behavior.
+    residual_len: int = 0
     residual_dtype: jnp.dtype = jnp.bfloat16
+
+    def __post_init__(self):
+        if self.k_group:
+            assert self.gap % self.k_group == 0,                 "k_group must divide gap"
+        assert self.residual_len >= 0
+
+    @property
+    def kg(self) -> int:
+        """Effective K channel-group size (tokens)."""
+        return self.k_group or self.gap
+
+    @property
+    def n_k_groups(self) -> int:
+        return self.gap // self.kg
+
+    @property
+    def res_slots(self) -> int:
+        """Residual window size: gap in-progress slots + residual_len
+        protected recent tokens."""
+        return self.gap + self.residual_len
+
+    def n_full(self, length):
+        """Chunks quantized after `length` tokens (scalar or vector)."""
+        return jnp.maximum(length - self.residual_len, 0) // self.gap
 
     @property
     def codes_per_byte(self) -> int:
@@ -178,6 +213,11 @@ def init_quant_cache(n_layers, batch, max_len, kv_heads, head_dim,
     vg = min(cfg.v_group, head_dim)
     assert head_dim % vg == 0, "v_group must divide head_dim"
     G = head_dim // vg
+    Gk = cfg.n_k_groups
+    # Gk == 1 keeps the round-1 (C, hd) scale layout the fused kernel
+    # consumes; Gk > 1 adds a per-chunk group axis (C, Gk, hd)
+    kss = ((n_layers, batch, kv_heads, C, head_dim) if Gk == 1
+           else (n_layers, batch, kv_heads, C, Gk, head_dim))
     z = jnp.zeros
     shp = (n_layers, batch, kv_heads, C, cfg.gap // cfg.codes_per_byte,
            head_dim)
@@ -186,13 +226,13 @@ def init_quant_cache(n_layers, batch, max_len, kv_heads, head_dim,
     return QuantKVState(
         kq=z(shp, jnp.uint8),
         vq=z(shp, jnp.uint8),
-        k_mn=z((n_layers, batch, kv_heads, C, head_dim), jnp.float32),
-        k_sc=z((n_layers, batch, kv_heads, C, head_dim), jnp.float32),
+        k_mn=z(kss, jnp.float32),
+        k_sc=z(kss, jnp.float32),
         v_mn=z((n_layers, batch, kv_heads, C, cfg.gap, G), jnp.float32),
         v_sc=z((n_layers, batch, kv_heads, C, cfg.gap, G), jnp.float32),
-        res_k=z((n_layers, batch, cfg.gap, kv_heads, head_dim),
+        res_k=z((n_layers, batch, cfg.res_slots, kv_heads, head_dim),
                 cfg.residual_dtype),
-        res_v=z((n_layers, batch, cfg.gap, kv_heads, head_dim),
+        res_v=z((n_layers, batch, cfg.res_slots, kv_heads, head_dim),
                 cfg.residual_dtype),
         length=z((), jnp.int32),
         offset=offset,
@@ -203,17 +243,25 @@ def _per(bits: int) -> int:
     return {2: 4, 4: 2, 8: 1}[bits]
 
 
-def _quant_chunk_k(chunk: jax.Array, bits: int):
-    """K chunk (B, KVH, nch, gap, hd): per-channel min/max over the token
-    axis inside the chunk (KIVI channel grouping). Codes come back
-    sub-byte-packed along the token axis ((..., gap//per, hd))."""
+def _quant_chunk_k(chunk: jax.Array, bits: int, group: int = 0):
+    """K chunk (B, KVH, nch, gap, hd): per-channel min/max over token
+    sub-groups of ``group`` tokens (KIVI channel grouping,
+    compress_function.py:41-70; group == gap -> one group per chunk).
+    Codes come back sub-byte-packed along the token axis; scales are
+    (..., nch, hd) for one group, else (..., nch, Gk, hd)."""
     x = chunk.astype(jnp.float32)
-    mn = x.min(axis=3)
-    mx = x.max(axis=3)
+    B, KVH, nch, gap, hd = x.shape
+    g = group or gap
+    Gk = gap // g
+    xg = x.reshape(B, KVH, nch, Gk, g, hd)
+    mn = xg.min(axis=4)
+    mx = xg.max(axis=4)
     sc = (mx - mn) / (2 ** bits - 1)
     sc = jnp.where(sc == 0, 1.0, sc)
-    codes = jnp.clip(jnp.round((x - mn[..., None, :]) / sc[..., None, :]),
-                     0, 2 ** bits - 1).astype(jnp.uint8)
+    codes = jnp.clip(jnp.round((xg - mn[..., None, :]) / sc[..., None, :]),
+                     0, 2 ** bits - 1).astype(jnp.uint8).reshape(x.shape)
+    if Gk == 1:
+        mn, sc = mn[..., 0, :], sc[..., 0, :]
     return _pack_codes(codes, _per(bits), bits), mn, sc
 
 
@@ -234,8 +282,15 @@ def _quant_chunk_v(chunk: jax.Array, bits: int, v_group: int):
 
 
 def _dequant_k(codes, mn, sc, dtype, bits: int = 4):
-    """(B, KVH, C, gap//per, hd) packed codes; (B, KVH, C, hd) scales."""
+    """(B, KVH, C, gap//per, hd) packed codes; scales (B, KVH, C, hd) or
+    (B, KVH, C, Gk, hd) for sub-chunk K groups."""
     codes = _unpack_codes(codes, _per(bits), bits)
+    if mn.ndim == codes.ndim:                  # grouped: (..., C, Gk, hd)
+        B, KVH, C, gap, hd = codes.shape
+        Gk = mn.shape[-2]
+        x = codes.astype(jnp.float32).reshape(B, KVH, C, Gk, gap // Gk, hd)
+        x = x * sc[..., None, :] + mn[..., None, :]
+        return x.reshape(codes.shape).astype(dtype)
     return (codes.astype(jnp.float32) * sc[..., None, :]
             + mn[..., None, :]).astype(dtype)
 
@@ -266,14 +321,15 @@ class QuantizedDecodeCache:
         st, cfg = self.state, self.cfg
         B, S, KVH, hd = k.shape
         gap = cfg.gap
-        nch = S // gap
+        # only tokens at least residual_len old may quantize
+        nch = max(S - cfg.residual_len, 0) // gap
         if nch > 0:
             # (B, S', KVH, hd) -> head-major chunks (B, KVH, nch, gap, hd)
             kc = k[:, :nch * gap].reshape(B, nch, gap, KVH, hd
                                           ).transpose(0, 3, 1, 2, 4)
             vc = v[:, :nch * gap].reshape(B, nch, gap, KVH, hd
                                           ).transpose(0, 3, 1, 2, 4)
-            kq, kmn, ksc = _quant_chunk_k(kc, cfg.bits)
+            kq, kmn, ksc = _quant_chunk_k(kc, cfg.bits, cfg.kg)
             vq, vmn, vsc = _quant_chunk_v(vc, cfg.bits, cfg.v_group)
             for name, val in (("kq", kq), ("k_mn", kmn), ("k_sc", ksc),
                               ("vq", vq), ("v_mn", vmn), ("v_sc", vsc)):
@@ -300,8 +356,9 @@ class QuantizedDecodeCache:
         measured ~10 ms/step of copies on an 8B 4k-context decode)."""
         st, cfg = self.state, self.cfg
         gap = cfg.gap
-        slot = st.length % gap
-        li = layer_idx
+        nfull_old = cfg.n_full(st.length)
+        slot = st.length - nfull_old * gap        # == length % gap at
+        li = layer_idx                            # residual_len == 0
         self._upd["res_k"] = jax.lax.dynamic_update_slice(
             self._upd["res_k"], k[None].astype(st.res_k.dtype),
             (li, 0, slot, 0, 0))
@@ -310,14 +367,16 @@ class QuantizedDecodeCache:
             (li, 0, slot, 0, 0))
 
         new_len = st.length + 1
-        chunk_ready = (new_len % gap) == 0
-        chunk_idx = jnp.maximum(new_len // gap - 1, 0)
+        nfull_new = cfg.n_full(new_len)
+        chunk_ready = nfull_new > nfull_old
+        chunk_idx = jnp.maximum(nfull_new - 1, 0)
 
-        # quantize the (possibly incomplete) residual window every step;
+        # quantize the residual window's oldest `gap` slots every step;
         # the write below is predicated so it only lands on fold steps
-        rk = self._upd["res_k"][li].transpose(0, 2, 1, 3)[:, :, None]
-        rv = self._upd["res_v"][li].transpose(0, 2, 1, 3)[:, :, None]
-        kcq, kcmn, kcsc = _quant_chunk_k(rk.astype(jnp.float32), cfg.bits)
+        rk = self._upd["res_k"][li, :, :gap].transpose(0, 2, 1, 3)[:, :, None]
+        rv = self._upd["res_v"][li, :, :gap].transpose(0, 2, 1, 3)[:, :, None]
+        kcq, kcmn, kcsc = _quant_chunk_k(rk.astype(jnp.float32), cfg.bits,
+                                         cfg.kg)
         vcq, vcmn, vcsc = _quant_chunk_v(rv.astype(jnp.float32),
                                          cfg.bits, cfg.v_group)
 
@@ -337,6 +396,19 @@ class QuantizedDecodeCache:
         wr("vq", vcq, 3)
         wr("v_mn", vcmn, 3)
         wr("v_sc", vcsc, 3)
+
+        if cfg.residual_len > 0:
+            # on fold, the residual_len protected tokens (+ the one just
+            # written) shift down by gap. Costs one predicated layer-
+            # slice rewrite per fold-candidate step; residual_len == 0
+            # (the serving default) never takes this path.
+            for name in ("res_k", "res_v"):
+                buf = self._upd[name]
+                lay = buf[li]                          # (B, R, KVH, hd)
+                shifted = jnp.concatenate(
+                    [lay[:, gap:], jnp.zeros_like(lay[:, :gap])], axis=1)
+                sel = jnp.where(chunk_ready, shifted, lay)
+                self._upd[name] = buf.at[li].set(sel)
 
     # -- protocol ----------------------------------------------------------
     def update(self, layer_idx: int, k, v, positions, mask):
@@ -370,14 +442,14 @@ class QuantizedDecodeCache:
         v_all = jnp.concatenate(
             [v_chunks, self._upd["res_v"][layer_idx].astype(k.dtype)], 1)
 
-        nfull = new_len // gap
-        res_len = new_len % gap
+        nfull = cfg.n_full(new_len)
+        res_len = new_len - nfull * gap
         # slot indices of stored tokens; slot s of row b holds the token
         # with REAL position s - offset[b] (left-padding support)
         chunk_pos = jnp.arange(C * gap)
         chunk_valid = chunk_pos < nfull * gap
-        res_pos = nfull * gap + jnp.arange(gap)
-        res_valid = jnp.arange(gap) < res_len
+        res_pos = nfull * gap + jnp.arange(cfg.res_slots)
+        res_valid = jnp.arange(cfg.res_slots) < res_len
         key_slot = jnp.concatenate([chunk_pos, res_pos])
         key_valid = jnp.concatenate([chunk_valid, res_valid])
 
@@ -394,6 +466,7 @@ class QuantizedDecodeCache:
         length. The kernel indexes the layer via a prefetch scalar, so
         no per-layer slice of the cache is ever materialized and the
         dense K/V never exists (see ops/pallas/quant_attention.py)."""
+        assert self.cfg.n_k_groups == 1 and self.cfg.residual_len == 0,             "fused decode kernel serves the k_group == gap, "             "residual_len == 0 layout; use the XLA path otherwise"
         self._ingest_decode(layer_idx, k, v)
         self._new_len = self.state.length + 1
         full = tuple(self._upd[n] for n in
@@ -412,7 +485,7 @@ class QuantizedDecodeCache:
         KVH, hd = st.res_k.shape[-2:]
         feat = KVH * hd
         bytes_q = (cfg.bits / 8) * feat + \
-            8 * feat / cfg.gap + 8 * feat / cfg.v_group
+            8 * feat * cfg.n_k_groups / cfg.gap + 8 * feat / cfg.v_group
         return (2.0 * feat) / bytes_q
 
 
@@ -463,7 +536,8 @@ class SlotQuantizedDecodeCache:
         b_idx = jnp.arange(B)
 
         # residual write at each slot's own row
-        row = lengths % gap
+        nfull_old = cfg.n_full(lengths)
+        row = lengths - nfull_old * gap
         self._upd["res_k"] = self._upd["res_k"].at[li, b_idx, row].set(
             k[:, 0].astype(st.res_k.dtype))
         self._upd["res_v"] = self._upd["res_v"].at[li, b_idx, row].set(
@@ -471,14 +545,16 @@ class SlotQuantizedDecodeCache:
 
         new_len = jnp.where(self.active, lengths + 1, lengths)
         self._new_len = new_len
-        ready = self.active & ((lengths + 1) % gap == 0)
-        cidx = jnp.maximum((lengths + 1) // gap - 1, 0)
+        nfull_new = cfg.n_full(lengths + 1)
+        ready = self.active & (nfull_new > nfull_old)
+        cidx = jnp.maximum(nfull_new - 1, 0)
 
-        # quantize every slot's residual window every step; land it only
-        # on slots whose window just filled
-        rk = self._upd["res_k"][li].transpose(0, 2, 1, 3)[:, :, None]
-        rv = self._upd["res_v"][li].transpose(0, 2, 1, 3)[:, :, None]
-        kcq, kcmn, kcsc = _quant_chunk_k(rk.astype(jnp.float32), cfg.bits)
+        # quantize every slot's residual window (oldest gap slots) every
+        # step; land it only on slots whose window just filled
+        rk = self._upd["res_k"][li, :, :gap].transpose(0, 2, 1, 3)[:, :, None]
+        rv = self._upd["res_v"][li, :, :gap].transpose(0, 2, 1, 3)[:, :, None]
+        kcq, kcmn, kcsc = _quant_chunk_k(rk.astype(jnp.float32), cfg.bits,
+                                         cfg.kg)
         vcq, vcmn, vcsc = _quant_chunk_v(rv.astype(jnp.float32),
                                          cfg.bits, cfg.v_group)
 
@@ -498,10 +574,21 @@ class SlotQuantizedDecodeCache:
         wr("v_mn", vcmn)
         wr("v_sc", vcsc)
 
+        if cfg.residual_len > 0:
+            for name in ("res_k", "res_v"):
+                buf = self._upd[name]
+                lay = buf[li]                          # (B, R, KVH, hd)
+                shifted = jnp.concatenate(
+                    [lay[:, gap:], jnp.zeros_like(lay[:, :gap])], axis=1)
+                sel = jnp.where(
+                    ready.reshape(B, 1, 1, 1), shifted, lay)
+                self._upd[name] = buf.at[li].set(sel)
+
     def ingest_for_fused(self, layer_idx: int, k, v):
         """Decode-step ingest for the fused Pallas attention: returns the
         FULL buffers + per-slot new lengths (cf. QuantizedDecodeCache
         .ingest_for_fused; the kernel takes a (B,) length vector)."""
+        assert self.cfg.n_k_groups == 1 and self.cfg.residual_len == 0,             "fused decode kernel serves the k_group == gap, "             "residual_len == 0 layout; use the XLA path otherwise"
         self._ingest(layer_idx, k, v)
         full = tuple(self._upd[n] for n in
                      ("kq", "k_mn", "k_sc", "vq", "v_mn", "v_sc",
@@ -534,12 +621,13 @@ class SlotQuantizedDecodeCache:
         v_all = jnp.concatenate(
             [v_chunks, self._upd["res_v"][li].astype(k.dtype)], 1)
 
-        nfull = lengths // gap                       # (B,) BEFORE this tok
-        res_len = (lengths % gap) + 1                # incl. just-written
+        nfull = cfg.n_full(lengths)                  # (B,) BEFORE this tok
+        res_len = lengths - nfull * gap + 1          # incl. just-written
+        R = cfg.res_slots
         chunk_pos = jnp.arange(C * gap)[None, :]     # (1, C*gap)
         chunk_valid = chunk_pos < (nfull * gap)[:, None]
-        res_pos = (nfull * gap)[:, None] + jnp.arange(gap)[None, :]
-        res_valid = jnp.arange(gap)[None, :] < res_len[:, None]
+        res_pos = (nfull * gap)[:, None] + jnp.arange(R)[None, :]
+        res_valid = jnp.arange(R)[None, :] < res_len[:, None]
         key_pos = jnp.concatenate([chunk_pos.repeat(B, 0), res_pos], 1)
         key_valid = jnp.concatenate([chunk_valid, res_valid], 1)
 
@@ -572,8 +660,8 @@ class SlotQuantPrefillCache:
         B, S, KVH, hd = k.shape              # B == 1
         gap = cfg.gap
         li = layer_idx
-        nch = S // gap
-        nfull = self.true_len // gap         # traced: chunks really full
+        nch = max(S - cfg.residual_len, 0) // gap
+        nfull = cfg.n_full(self.true_len)    # traced: chunks really full
 
         if nch > 0:
             kc = k[0, :nch * gap].reshape(nch, gap, KVH, hd
@@ -581,7 +669,7 @@ class SlotQuantPrefillCache:
             vc = v[0, :nch * gap].reshape(nch, gap, KVH, hd
                                           ).transpose(2, 0, 1, 3)[None]
             kcq, kcmn, kcsc = _quant_chunk_k(kc.astype(jnp.float32),
-                                             cfg.bits)
+                                             cfg.bits, cfg.kg)
             vcq, vcmn, vcsc = _quant_chunk_v(vc.astype(jnp.float32),
                                              cfg.bits, cfg.v_group)
             cvalid = jnp.arange(nch) < nfull
@@ -603,14 +691,15 @@ class SlotQuantPrefillCache:
             wr("v_mn", vcmn)
             wr("v_sc", vcsc)
 
-        # tail -> residual rows [0, true_len % gap); grab a gap-sized
-        # window starting at nfull*gap (pad so the slice stays in range)
-        kp = jnp.pad(k[0], ((0, gap), (0, 0), (0, 0)))
-        vp = jnp.pad(v[0], ((0, gap), (0, 0), (0, 0)))
+        # tail -> residual rows [0, true_len - nfull*gap); grab an
+        # R-sized window starting at nfull*gap (pad to stay in range)
+        R = cfg.res_slots
+        kp = jnp.pad(k[0], ((0, R), (0, 0), (0, 0)))
+        vp = jnp.pad(v[0], ((0, R), (0, 0), (0, 0)))
         tail_k = jax.lax.dynamic_slice(
-            kp, (nfull * gap, 0, 0), (gap, KVH, hd))
+            kp, (nfull * gap, 0, 0), (R, KVH, hd))
         tail_v = jax.lax.dynamic_slice(
-            vp, (nfull * gap, 0, 0), (gap, KVH, hd))
+            vp, (nfull * gap, 0, 0), (R, KVH, hd))
         self._upd["res_k"] = jax.lax.dynamic_update_slice(
             self._upd["res_k"],
             tail_k[None, None].astype(st.res_k.dtype), (li, self.slot,

@@ -281,3 +281,103 @@ def test_sink_cache_window_and_rerotation():
                           jnp.asarray([[3]]), hd, 10000.0)
     np.testing.assert_allclose(np.asarray(state.k[0][:, 3]),
                                np.asarray(k7_expect[:, 0]), atol=1e-4)
+
+
+def test_k_group_matches_gear_channel_codec():
+    """K sub-chunk grouping must reproduce the reference KIVI channel
+    codec (compress_function.py:41-70) on the same window: quantize a
+    gap-token chunk with k_group=g == fake_channel_group_quant(g)."""
+    from microscopiq_tpu.kv.cache import _dequant_k, _quant_chunk_k
+    from microscopiq_tpu.kv.gear import fake_channel_group_quant
+
+    B, KVH, hd, gap, g = 2, 2, 16, 32, 8
+    x = jnp.asarray(RNG.standard_normal((B, KVH, 1, gap, hd)), jnp.float32)
+    q, mn, sc = _quant_chunk_k(x, 4, g)
+    deq = _dequant_k(q, mn, sc, jnp.float32, 4)      # (B,KVH,1,gap,hd)
+    # gear codec wants (B, H, S, D)
+    ref = fake_channel_group_quant(x[:, :, 0], 4, g)
+    np.testing.assert_allclose(np.asarray(deq[:, :, 0]), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    assert mn.shape == (B, KVH, 1, gap // g, hd)
+
+
+def test_decoupled_kivi_knobs_semantics():
+    """gap (chunk cadence), k_group (K channel-group), residual_len
+    (protected fp window) are independent: the assembled K must equal
+    group-quantized chunks over tokens at least residual_len old and the
+    EXACT recent tokens, at every decode step."""
+    from microscopiq_tpu.kv.cache import (QuantizedDecodeCache,
+                                          _dequant_k, _quant_chunk_k,
+                                          init_quant_cache)
+
+    B, KVH, hd = 1, 2, 16
+    gap, kg, rl = 8, 4, 6
+    cfg = QuantKVConfig(bits=4, gap=gap, k_group=kg, residual_len=rl,
+                        v_group=16, residual_dtype=jnp.float32)
+    S_max = 64
+    T = 40
+    ks = jnp.asarray(RNG.standard_normal((B, T, KVH, hd)), jnp.float32)
+    vs = jnp.asarray(RNG.standard_normal((B, T, KVH, hd)), jnp.float32)
+
+    prefill = 11
+    state = init_quant_cache(1, B, S_max, KVH, hd, cfg)
+    cache = QuantizedDecodeCache(state, cfg)
+    pos = jnp.arange(prefill)[None, :]
+    cache.update(0, ks[:, :prefill], vs[:, :prefill], pos, None)
+    state = cache.finalize()
+
+    for t in range(prefill, T):
+        cache = QuantizedDecodeCache(state, cfg)
+        k_out, v_out, mask = cache.update(
+            0, ks[:, t:t + 1], vs[:, t:t + 1], jnp.asarray([[t]]), None)
+        state = cache.finalize()
+        n = t + 1
+        nfull = max(n - rl, 0) // gap
+        # expected quantized chunks: groups of `kg` tokens, channel-wise
+        for c in range(nfull):
+            w = ks[:, c * gap:(c + 1) * gap]            # (B,gap,KVH,hd)
+            wc = w.transpose(0, 2, 1, 3)[:, :, None]    # (B,KVH,1,gap,hd)
+            q, mn, sc = _quant_chunk_k(wc, cfg.bits, kg)
+            exp = _dequant_k(q, mn, sc, jnp.float32, cfg.bits)[:, :, 0]
+            got = k_out[:, c * gap:(c + 1) * gap].transpose(0, 2, 1, 3)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                                       atol=1e-5)
+        # residual tokens are bit-exact, in order, at the right slots
+        n_res = n - nfull * gap
+        res = k_out[:, S_max:S_max + n_res]
+        np.testing.assert_array_equal(
+            np.asarray(res), np.asarray(ks[:, nfull * gap:n]))
+        assert rl <= n_res <= rl + gap or n <= rl + gap
+        # mask sees exactly n tokens
+        assert int(np.asarray(mask)[0, 0, -1].sum()) == n
+
+
+def test_slot_cache_decoupled_knobs():
+    """Slot (continuous-batching) cache honors k_group/residual_len: two
+    slots at different depths decode with exact residual windows."""
+    from microscopiq_tpu.kv.cache import (SlotQuantizedDecodeCache,
+                                          init_slot_quant_cache)
+
+    B, KVH, hd = 2, 2, 16
+    gap, kg, rl = 8, 4, 4
+    cfg = QuantKVConfig(bits=4, gap=gap, k_group=kg, residual_len=rl,
+                        v_group=16, residual_dtype=jnp.float32)
+    state = init_slot_quant_cache(1, B, 64, KVH, hd, cfg)
+    T = 30
+    ks = jnp.asarray(RNG.standard_normal((B, T, KVH, hd)), jnp.float32)
+    vs = jnp.asarray(RNG.standard_normal((B, T, KVH, hd)), jnp.float32)
+    active = jnp.asarray([True, True])
+    for t in range(T):
+        cache = SlotQuantizedDecodeCache(state, cfg, active)
+        k_out, _, mask = cache.update(
+            0, ks[:, t:t + 1], vs[:, t:t + 1],
+            jnp.full((B, 1), t, jnp.int32), None)
+        state = cache.finalize()
+        n = t + 1
+        nfull = max(n - rl, 0) // gap
+        n_res = n - nfull * gap
+        res = k_out[:, 64:64 + n_res]
+        np.testing.assert_array_equal(
+            np.asarray(res), np.asarray(ks[:, nfull * gap:n]))
+        assert int(np.asarray(mask)[0, 0, 0].sum()) == n
+    assert np.asarray(state.length).tolist() == [T, T]
