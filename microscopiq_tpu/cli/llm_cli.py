@@ -116,6 +116,9 @@ def main(argv=None):
     parser.add_argument("--blocksize", type=int, default=128)
     parser.add_argument("--act-order", action="store_true")
     parser.add_argument("--no-quant", action="store_true")
+    parser.add_argument("--allow-synthetic", action="store_true",
+                        help="permit silent fallback to the synthetic "
+                             "corpus when the dataset dir is missing")
     parser.add_argument("--benchmark", type=int, default=0,
                         help="decode-latency benchmark over N tokens")
     parser.add_argument("--save", default="",
@@ -136,7 +139,8 @@ def main(argv=None):
     seqlen = min(args.seqlen, cfg.max_position_embeddings)
 
     crops, test_ids = get_loaders(args.dataset, args.nsamples, args.seed,
-                                  seqlen, tokenizer)
+                                  seqlen, tokenizer,
+                                  allow_synthetic=args.allow_synthetic)
     calib = jnp.asarray(np.concatenate(crops, 0) % cfg.vocab_size)
     test_ids = np.asarray(test_ids) % cfg.vocab_size
 

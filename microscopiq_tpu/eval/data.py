@@ -46,7 +46,7 @@ def synthetic_corpus(n_tokens_approx: int = 600_000, seed: int = 1234) -> str:
     return "\n".join(out)
 
 
-def _load_text(name: str) -> str:
+def _load_text(name: str, allow_synthetic: bool = False) -> str:
     path_dir = os.path.join(DATA_DIR, name)
     path_txt = os.path.join(DATA_DIR, f"{name}.txt")
     if os.path.isdir(path_dir):
@@ -61,6 +61,17 @@ def _load_text(name: str) -> str:
         with open(path_txt) as f:
             return f.read()
     if name != "synthetic":
+        # a reportable run must never silently print a synthetic ppl as
+        # if it were the real corpus (a typo'd MICROSCOPIQ_DATA_DIR used
+        # to produce a confident, meaningless number)
+        if not (allow_synthetic
+                or os.environ.get("MICROSCOPIQ_ALLOW_SYNTHETIC")):
+            raise FileNotFoundError(
+                f"dataset '{name}' not found under {DATA_DIR}. Place the "
+                f"corpus at {path_dir}/ (HF datasets.save_to_disk) or "
+                f"{path_txt}, or pass --allow-synthetic / set "
+                "MICROSCOPIQ_ALLOW_SYNTHETIC=1 to fall back to the "
+                "synthetic corpus (perplexities NOT comparable)")
         import warnings
         warnings.warn(
             f"dataset '{name}' not found under {DATA_DIR}; falling back to "
@@ -69,7 +80,8 @@ def _load_text(name: str) -> str:
 
 
 def get_loaders(name: str, nsamples: int = 128, seed: int = 0,
-                seqlen: int = 2048, tokenizer=None
+                seqlen: int = 2048, tokenizer=None,
+                allow_synthetic: bool = False
                 ) -> Tuple[List[np.ndarray], np.ndarray]:
     """(train crops, test token stream), reference get_loaders semantics:
     seeded random seqlen crops from the train split; the full test split
@@ -78,7 +90,7 @@ def get_loaders(name: str, nsamples: int = 128, seed: int = 0,
     tokenizer: anything with encode() -> list[int]; None uses a hash
     tokenizer (synthetic pipelines only).
     """
-    text = _load_text(name)
+    text = _load_text(name, allow_synthetic)
     split = int(len(text) * 0.9)
     train_text, test_text = text[:split], text[split:]
 

@@ -143,3 +143,23 @@ def test_checkpoint_preserves_transport(tmp_path):
         assert got.transport_fold == orig.transport_fold
         np.testing.assert_array_equal(np.asarray(dequantize_mx(got)),
                                       np.asarray(dequantize_mx(orig)))
+
+
+def test_missing_dataset_fails_hard(tmp_path, monkeypatch):
+    """A reportable eval must not silently print synthetic perplexity
+    when the real corpus is missing; explicit opt-in is required."""
+    import pytest as _pytest
+
+    from microscopiq_tpu.eval import data as d
+
+    monkeypatch.setattr(d, "DATA_DIR", str(tmp_path))
+    monkeypatch.delenv("MICROSCOPIQ_ALLOW_SYNTHETIC", raising=False)
+    with _pytest.raises(FileNotFoundError):
+        d._load_text("wikitext2")
+    # explicit opt-ins work
+    assert len(d._load_text("wikitext2", allow_synthetic=True)) > 1000
+    monkeypatch.setenv("MICROSCOPIQ_ALLOW_SYNTHETIC", "1")
+    assert len(d._load_text("wikitext2")) > 1000
+    # 'synthetic' by name is always fine
+    monkeypatch.delenv("MICROSCOPIQ_ALLOW_SYNTHETIC")
+    assert len(d._load_text("synthetic")) > 1000
