@@ -15,11 +15,12 @@ import os
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-from ..ops.packing import PackedMX, PackedMXOutlier
+from ..ops.packing import PackedMX, PackedMXOutlier, PackedOutlierNB
 
-_PACKED_TYPES = (PackedMX, PackedMXOutlier)
+_PACKED_TYPES = (PackedMX, PackedMXOutlier, PackedOutlierNB)
 
 
 def _is_packed(x):
@@ -64,6 +65,17 @@ def save_checkpoint(path: str, tree: Any) -> None:
             arrays[f"{i}.scale_exp"] = np.asarray(leaf.inlier.scale_exp)
             arrays[f"{i}.out_codes"] = np.asarray(leaf.out_codes)
             arrays[f"{i}.out_pos"] = np.asarray(leaf.out_pos)
+            arrays[f"{i}.out_scale_exp"] = np.asarray(leaf.out_scale_exp)
+        elif isinstance(leaf, PackedOutlierNB):
+            entry["kind"] = "PackedOutlierNB"
+            entry["static"] = {
+                "elem_format": leaf.elem_format,
+                "outlier_format": leaf.outlier_format,
+                "block_size": leaf.block_size,
+                "orig_n": leaf.orig_n, "orig_k": leaf.orig_k}
+            arrays[f"{i}.codes"] = np.asarray(leaf.codes)
+            arrays[f"{i}.scale_exp"] = np.asarray(leaf.scale_exp)
+            arrays[f"{i}.out_byte"] = np.asarray(leaf.out_byte)
             arrays[f"{i}.out_scale_exp"] = np.asarray(leaf.out_scale_exp)
         else:
             entry["kind"] = "array"
@@ -125,6 +137,15 @@ def load_checkpoint(path: str) -> Any:
                 out_scale_exp=arr(f"{i}.out_scale_exp"),
                 outlier_format=st["outlier_format"],
                 outlier_scale_bits=st["outlier_scale_bits"])
+        elif entry["kind"] == "PackedOutlierNB":
+            node[last] = PackedOutlierNB(
+                codes=arr(f"{i}.codes"), scale_exp=arr(f"{i}.scale_exp"),
+                out_byte=arr(f"{i}.out_byte"),
+                out_scale_exp=arr(f"{i}.out_scale_exp"),
+                elem_format=st["elem_format"],
+                outlier_format=st["outlier_format"],
+                block_size=st["block_size"],
+                orig_n=st["orig_n"], orig_k=st["orig_k"])
         else:
             node[last] = arr(f"{i}.a")
     return root
@@ -134,33 +155,55 @@ def load_checkpoint(path: str) -> Any:
 # Delta checkpoints (parity: vlm/llava/model/{apply_delta,make_delta}.py —
 # LLaVA ships weights as deltas over a base LM; same pytree algebra here)
 # ---------------------------------------------------------------------------
-def make_delta(base: Any, target: Any) -> Any:
-    """delta = target - base, leaf-wise over matching dense pytrees
-    (make_delta.py semantics). Packed leaves are not supported — deltas
-    of quantized codes are meaningless; compute deltas pre-packing."""
-    def sub(t, b):
-        if isinstance(t, _PACKED_TYPES) or isinstance(b, _PACKED_TYPES):
-            raise TypeError("make_delta operates on dense trees")
-        return t - b
+def _delta_combine(base: Any, other: Any, sign: int) -> Any:
+    """Shared walker for make/apply delta (make_delta.py / apply_delta.py
+    :1-48 semantics):
 
-    return jax.tree_util.tree_map(sub, target, base)
+    * keys only in `other` (the LLaVA mm_projector / vision tower) pass
+      through unchanged,
+    * keys only in `base` are kept (apply) — the reference asserts they
+      don't exist, but a pruned delta is a superset use case,
+    * shape mismatches handle the EXTENDED-VOCAB case: the delta rows
+      cover the larger vocab (embed_tokens/lm_head grew by the image
+      tokens) and base adds/subtracts into the leading slab only.
+    """
+    if isinstance(base, dict) or isinstance(other, dict):
+        out = {}
+        bd = base if isinstance(base, dict) else {}
+        od = other if isinstance(other, dict) else {}
+        for k in set(bd) | set(od):
+            if k not in bd:
+                out[k] = od[k]
+            elif k not in od:
+                out[k] = bd[k]
+            else:
+                out[k] = _delta_combine(bd[k], od[k], sign)
+        return out
+    if isinstance(base, _PACKED_TYPES) or isinstance(other, _PACKED_TYPES):
+        raise TypeError("delta utilities operate on dense trees; compute "
+                        "deltas pre-packing")
+    b = jnp.asarray(base)
+    o = jnp.asarray(other)
+    if b.shape == o.shape:
+        return o + sign * b
+    # extended-vocab slab (apply_delta.py:29-32): other covers the grown
+    # shape; base lands on the leading corner
+    assert b.ndim == o.ndim and all(
+        bs <= os_ for bs, os_ in zip(b.shape, o.shape)),         f"delta shape {o.shape} smaller than base {b.shape}"
+    slab = o[tuple(slice(0, bs) for bs in b.shape)] + sign * b
+    return o.at[tuple(slice(0, bs) for bs in b.shape)].set(slab)
+
+
+def make_delta(base: Any, target: Any) -> Any:
+    """delta = target - base (make_delta.py semantics): target-only keys
+    (mm_projector, vision tower) are stored verbatim; grown-vocab rows
+    keep the target values with base subtracted from the leading slab."""
+    return _delta_combine(base, target, -1)
 
 
 def apply_delta(base: Any, delta: Any) -> Any:
-    """target = base + delta (apply_delta.py:1-48 semantics). Leaves
-    present only in `delta` (e.g. mm_projector) are kept as-is when the
-    trees are dicts."""
-    if isinstance(base, dict) and isinstance(delta, dict):
-        out = {}
-        for k in set(base) | set(delta):
-            if k not in base:
-                out[k] = delta[k]
-            elif k not in delta:
-                out[k] = base[k]
-            else:
-                out[k] = apply_delta(base[k], delta[k])
-        return out
-    return jax.tree_util.tree_map(lambda b, d: b + d, base, delta)
+    """target = base + delta (apply_delta.py:1-48 semantics)."""
+    return _delta_combine(base, delta, +1)
 
 
 def consolidate(params: Any, dtype=None) -> Any:

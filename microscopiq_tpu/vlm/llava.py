@@ -56,6 +56,24 @@ class LlavaConfig:
         base.update(kw)
         return LlavaConfig(**base)
 
+    @staticmethod
+    def mistral(text_kw: Optional[dict] = None, **kw) -> "LlavaConfig":
+        """Mistral-backed LLaVA (llava_mistral.py:1-158): identical
+        multimodal arch over the sliding-window Mistral LM — on this
+        stack just a text-config swap, since LlamaModel already carries
+        Mistral semantics (sliding_window, llm/llama.py:20-58)."""
+        text = LlamaConfig.mistral_7b(**(text_kw or {}))
+        base = dict(text=text, vision=CLIPVisionConfig())
+        base.update(kw)
+        return LlavaConfig(**base)
+
+    @staticmethod
+    def tiny_mistral(**kw) -> "LlavaConfig":
+        base = dict(text=LlamaConfig.tiny(sliding_window=8),
+                    vision=CLIPVisionConfig.tiny())
+        base.update(kw)
+        return LlavaConfig(**base)
+
 
 def splice_image_features(text_embeds, image_feats, image_token_mask):
     """Static-shape splice: where mask, take next image feature in order.

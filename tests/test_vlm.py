@@ -200,3 +200,212 @@ def test_eval_vqa_writes_jsonl(tmp_path):
     import json
     lines = [json.loads(l) for l in f.read_text().splitlines()]
     assert lines[0]["question_id"] == 0 and "text" in lines[0]
+
+
+def test_delta_roundtrip_with_vocab_growth(tmp_path):
+    """make_delta/apply_delta must round-trip the LLaVA delta semantics
+    (apply_delta.py:1-48): delta-only keys (mm_projector) pass through,
+    and embed_tokens/lm_head rows grown by the image tokens add the base
+    into the leading slab only."""
+    import numpy as np
+
+    from microscopiq_tpu.utils.checkpoint import (apply_delta,
+                                                  load_checkpoint,
+                                                  make_delta,
+                                                  save_checkpoint)
+
+    rng = np.random.default_rng(0)
+    base = {
+        "model": {
+            "embed_tokens": rng.standard_normal((10, 4)).astype(np.float32),
+            "layers_0": {"mlp": {"kernel":
+                         rng.standard_normal((4, 4)).astype(np.float32)}},
+        },
+        "lm_head": {"kernel":
+                    rng.standard_normal((4, 10)).astype(np.float32)},
+    }
+    target = {
+        "model": {
+            # vocab grown 10 -> 12 (image tokens)
+            "embed_tokens": rng.standard_normal((12, 4)).astype(np.float32),
+            "layers_0": {"mlp": {"kernel":
+                         rng.standard_normal((4, 4)).astype(np.float32)}},
+            "mm_projector": {"kernel":
+                             rng.standard_normal((4, 4)).astype(np.float32)},
+        },
+        "lm_head": {"kernel":
+                    rng.standard_normal((4, 12)).astype(np.float32)},
+    }
+
+    delta = make_delta(base, target)
+    # projector stored verbatim
+    np.testing.assert_array_equal(
+        np.asarray(delta["model"]["mm_projector"]["kernel"]),
+        target["model"]["mm_projector"]["kernel"])
+    back = apply_delta(base, delta)
+    for path in (("model", "embed_tokens"), ("lm_head", "kernel"),
+                 ("model", "layers_0", "mlp", "kernel"),
+                 ("model", "mm_projector", "kernel")):
+        t, b = target, back
+        for k in path:
+            t, b = t[k], b[k]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(t),
+                                   atol=1e-6)
+
+    # CLI over checkpoint dirs
+    from microscopiq_tpu.vlm.delta import main as delta_main
+
+    save_checkpoint(str(tmp_path / "base"), base)
+    save_checkpoint(str(tmp_path / "target"), target)
+    delta_main(["make", "--base", str(tmp_path / "base"),
+                "--target", str(tmp_path / "target"),
+                "--delta", str(tmp_path / "delta")])
+    delta_main(["apply", "--base", str(tmp_path / "base"),
+                "--delta", str(tmp_path / "delta"),
+                "--target", str(tmp_path / "target2")])
+    t2 = load_checkpoint(str(tmp_path / "target2"))
+    np.testing.assert_allclose(
+        np.asarray(t2["model"]["embed_tokens"]),
+        target["model"]["embed_tokens"], atol=1e-6)
+    delta_main(["consolidate", "--src", str(tmp_path / "target2"),
+                "--dst", str(tmp_path / "target3")])
+    t3 = load_checkpoint(str(tmp_path / "target3"))
+    np.testing.assert_allclose(np.asarray(t3["lm_head"]["kernel"]),
+                               target["lm_head"]["kernel"], atol=1e-6)
+
+
+def test_checkpoint_roundtrip_compact_transport(tmp_path):
+    """PackedOutlierNB leaves survive save/load bit-exactly."""
+    import numpy as np
+
+    from microscopiq_tpu.ops.packing import (dequantize_outlier_nb,
+                                             pack_outlier_nb)
+    from microscopiq_tpu.quant import GPTQ, MXQuantizer
+    from microscopiq_tpu.utils.checkpoint import (load_checkpoint,
+                                                  save_checkpoint)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    W = rng.standard_normal((64, 32)).astype(np.float32)
+    g = GPTQ(jnp.asarray(W), mode="mx_prune")
+    g.quantizer = MXQuantizer(8, 8, "int2", "fp4", std_dev=2.0, axes=(0,),
+                              block_size=16, max_outliers_per_block=2)
+    g.add_batch(jnp.asarray(rng.standard_normal((8, 32)).astype(np.float32)))
+    g.fasterquant(blocksize=16, collect_decisions=True)
+    p = pack_outlier_nb(g.decisions, budget=2)
+    save_checkpoint(str(tmp_path / "ck"), {"layer": {"kernel": p}})
+    back = load_checkpoint(str(tmp_path / "ck"))["layer"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(dequantize_outlier_nb(back)),
+                                  np.asarray(dequantize_outlier_nb(p)))
+
+
+def test_llava_mistral_variant():
+    """Mistral-backed LLaVA (llava_mistral.py parity): sliding-window LM
+    under the same multimodal arch; window actually bites (logits differ
+    from the unwindowed Llama backbone on a long prompt)."""
+    import dataclasses
+
+    cfg = LlavaConfig.tiny_mistral()
+    assert cfg.text.sliding_window == 8
+    model = LlavaForCausalLM(cfg, use_pallas=False)
+    S = 24
+    T = cfg.num_image_tokens
+    ids = np.full((1, S), 7, np.int32)
+    ids[0, :3] = [1, 5, 9]
+    mask = np.zeros((1, S), bool)
+    mask[0, 3:3 + T] = True
+    pix = np.random.default_rng(1).normal(
+        size=(1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        pixel_values=jnp.asarray(pix),
+                        image_token_mask=jnp.asarray(mask))
+    logits = model.apply(params, jnp.asarray(ids),
+                         pixel_values=jnp.asarray(pix),
+                         image_token_mask=jnp.asarray(mask))
+    assert logits.shape == (1, S, cfg.text.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # same weights, window removed -> different last-token logits
+    cfg_nw = dataclasses.replace(
+        cfg, text=dataclasses.replace(cfg.text, sliding_window=None))
+    model_nw = LlavaForCausalLM(cfg_nw, use_pallas=False)
+    logits_nw = model_nw.apply(params, jnp.asarray(ids),
+                               pixel_values=jnp.asarray(pix),
+                               image_token_mask=jnp.asarray(mask))
+    assert not np.allclose(np.asarray(logits[:, -1]),
+                           np.asarray(logits_nw[:, -1]))
+
+    # generation works through the mm path
+    out = generate_mm(model, params, ids, mask, pix, max_new_tokens=3)
+    assert out.shape == (1, 3)
+
+
+def test_pope_evaluator(tmp_path):
+    """POPE scorer reproduces the reference's normalization and metric
+    math (eval_pope.py:5-80), end to end through the file CLI."""
+    import json
+
+    from microscopiq_tpu.vlm.evaluators import (eval_pope, eval_pope_files,
+                                                normalize_pope_answer)
+
+    assert normalize_pope_answer("Yes, there is a dog. It is red.") == "yes"
+    assert normalize_pope_answer("No.") == "no"
+    assert normalize_pope_answer("It is not there, sorry.") == "no"
+    assert normalize_pope_answer("there is no dog") == "no"
+
+    answers = [{"text": t} for t in
+               ("Yes.", "No.", "Yes.", "not really", "Yes it is.")]
+    labels = ["yes", "no", "no", "no", "yes"]
+    m = eval_pope(answers, labels)
+    assert (m["TP"], m["FP"], m["TN"], m["FN"]) == (2, 1, 2, 0)
+    assert abs(m["f1"] - (2 * (2 / 3) * 1.0 / ((2 / 3) + 1.0))) < 1e-9
+    assert m["yes_ratio"] == 3 / 5
+
+    # file-level per-category flow
+    ann = tmp_path / "ann"
+    ann.mkdir()
+    with open(ann / "coco_pope_popular.json", "w") as f:
+        for l in labels:
+            f.write(json.dumps({"label": l}) + "\n")
+    with open(tmp_path / "questions.jsonl", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"question_id": i,
+                                "category": "popular"}) + "\n")
+    with open(tmp_path / "answers.jsonl", "w") as f:
+        for i, a in enumerate(answers):
+            f.write(json.dumps({"question_id": i, **a}) + "\n")
+    scores = eval_pope_files(str(ann), str(tmp_path / "questions.jsonl"),
+                             str(tmp_path / "answers.jsonl"))
+    assert scores["popular"]["TP"] == 2
+
+
+def test_scienceqa_evaluator(tmp_path):
+    """ScienceQA scorer: the reference's answer-parsing ladder and the
+    sqa_results schema (eval_science_qa.py:28-121)."""
+    from microscopiq_tpu.vlm.evaluators import (eval_science_qa,
+                                                parse_sqa_answer)
+
+    opts = ["A", "B", "C", "D", "E"]
+    assert parse_sqa_answer("B", opts) == "B"
+    assert parse_sqa_answer("C. because physics", opts) == "C"
+    assert parse_sqa_answer("I think The answer is D.", opts) == "D"
+    assert parse_sqa_answer("no idea", opts) == "FAILED"
+
+    problems = {
+        "p1": {"choices": ["x", "y"], "answer": 1},
+        "p2": {"choices": ["x", "y", "z"], "answer": 0},
+        "p3": {"choices": ["x", "y"], "answer": 0},
+    }
+    predictions = {
+        "p1": {"text": "B", "prompt": "<image>\nwhich?"},
+        "p2": {"text": "The answer is C.", "prompt": "which?"},
+        # p3 missing -> FAILED
+    }
+    results, sqa = eval_science_qa(predictions, problems,
+                                   ["p1", "p2", "p3"], opts)
+    assert sqa["correct"] == 1 and sqa["count"] == 3
+    assert abs(sqa["acc"] - 100 / 3) < 1e-9
+    assert sqa["img_acc"] == 100.0          # the only mm sample is right
+    assert sqa["results"]["p2"] == 2 and sqa["results"]["p3"] == -1
+    assert {r["question_id"] for r in results["incorrect"]} == {"p2", "p3"}
