@@ -79,7 +79,8 @@ def pack_params(params, mx_specs: MxSpecs,
                 skip: Sequence[str] = ("lm_head",),
                 outlier_budget: int = 0,
                 outlier_transport: str = "emi8m",
-                decisions: dict = None):
+                decisions: dict = None,
+                gemm_transport: str = None):
     """Pack every linear kernel into PackedMX(axis=0) for the fused GEMM.
 
     Kernels are assumed flax-style (in_features, out_features); the
@@ -142,9 +143,10 @@ def pack_params(params, mx_specs: MxSpecs,
             # decode), sb4 for int4 (half the HBM bytes at equal speed);
             # int2's 4-field unpack measured VPU-bound, so it stays in
             # its int8 container by default (sb2 is opt-in via pack_mx).
-            transport = ("emi8" if fmt in ("fp4", "fp4_e2m1", "fp6_e3m2",
-                                           "fp6_e2m3")
-                         else "sb4" if fmt == "int4" else "native")
+            transport = gemm_transport or (
+                "emi8" if fmt in ("fp4", "fp4_e2m1", "fp6_e3m2",
+                                  "fp6_e2m3")
+                else "sb4" if fmt == "int4" else "native")
             return pack_mx(leaf, mx_specs["scale_bits"] or 8, fmt,
                            mx_specs["block_size"], axis=0,
                            transport=transport)

@@ -363,6 +363,73 @@ def subbyte_params(fmt) -> Tuple[int, int]:
     raise ValueError(f"sub-byte transport only for int4/int2, got {fmt}")
 
 
+def transport_rows_per_block(transport: str, block_size: int) -> int:
+    """Packed storage rows spanned by one block along the blocked axis."""
+    return {"sb4": block_size // 2, "sb2": block_size // 4,
+            "pf4": block_size // 2, "pf6": 3 * block_size // 4}.get(
+                transport, block_size)
+
+
+def _pf_pack(q: jax.Array, fmt, block_size: int, transport: str
+             ) -> jax.Array:
+    """Raw fp-bit sub-byte packing for the pf4/pf6 GEMM transports.
+
+    q: fake-quantized grid values (..., nb, B). pf4 stores the 4-bit
+    s|e|m code sb4-style (2/byte, blockwise interleave). pf6 splits the
+    6-bit code into a low-4-bit plane (sb4-style, B/2 rows) and a
+    high-2-bit plane (sb2-style, B/4 rows, carrying sign|e2) stored
+    after it within the block — 6 bits/element, all sublane regroups in
+    the kernel. Requires block_size % 32 == 0 for pf6 (the hi plane's
+    B/4 rows must stay 8-aligned); the paper's fp6 config is block 32
+    (examples/run_mx_fp6.sh:2)."""
+    B = block_size
+    c = encode_fp_bits(q, fmt).astype(jnp.int8)      # (..., nb, B)
+    flat = c.reshape(c.shape[:-2] + (-1,))
+    if transport == "pf4":
+        assert B % 16 == 0, "pf4 needs block_size % 16 == 0"
+        return _subbyte_pack(flat, B, 2, 4)
+    assert B % 32 == 0, "pf6 needs block_size % 32 == 0"
+    lo = _subbyte_pack(flat & 0xF, B, 2, 4)          # (..., nb·B/2)
+    hi = _subbyte_pack((flat.astype(jnp.int32) >> 4).astype(jnp.int8),
+                       B, 4, 2)                      # (..., nb·B/4)
+    nb = flat.shape[-1] // B
+    lo = lo.reshape(lo.shape[:-1] + (nb, B // 2))
+    hi = hi.reshape(hi.shape[:-1] + (nb, B // 4))
+    out = jnp.concatenate([lo, hi], axis=-1)         # (..., nb, 3B/4)
+    return out.reshape(out.shape[:-2] + (-1,))
+
+
+def _pf_unpack(packed: jax.Array, fmt, block_size: int, transport: str
+               ) -> jax.Array:
+    """Inverse of :func:`_pf_pack` -> sign-extended int8 fp-bit codes."""
+    B = block_size
+    if transport == "pf4":
+        return _subbyte_unpack(packed, B, 2, 4)      # arith-extended 4b
+    rows = 3 * B // 4
+    nb = packed.shape[-1] // rows
+    p = packed.reshape(packed.shape[:-1] + (nb, rows))
+    lo4 = _subbyte_unpack(
+        p[..., :B // 2].reshape(p.shape[:-2] + (nb * (B // 2),)),
+        B, 2, 4).astype(jnp.int32) & 0xF
+    hi2 = _subbyte_unpack(
+        p[..., B // 2:].reshape(p.shape[:-2] + (nb * (B // 4),)),
+        B, 4, 2).astype(jnp.int32)                   # arith-extended 2b
+    return ((hi2 << 4) | lo4).astype(jnp.int8)       # sign-extended 6b
+
+
+def pf_decode_int(c: jax.Array, ebits: int, mm: int) -> jax.Array:
+    """Sign-extended raw fp-bit codes -> integer values = q · 2^fold
+    (fold = emi8_fold): mag = (m | implicit<<mm) << max(e-1, 0), sign
+    applied two's-complement. Pure int32 VPU ops — the kernel decode."""
+    c = c.astype(jnp.int32)
+    e = lax.shift_right_arithmetic(c, mm) & ((1 << ebits) - 1)
+    m = c & ((1 << mm) - 1)
+    ne = jnp.minimum(e, 1)
+    mag = lax.shift_left(m | lax.shift_left(ne, mm), e - ne)
+    smask = lax.shift_right_arithmetic(c, 31)
+    return (mag ^ smask) - smask
+
+
 def _subbyte_pack(codes: jax.Array, block_size: int, per: int,
                   bits: int) -> jax.Array:
     """Blockwise-interleaved sub-byte packing along the blocked axis.
@@ -409,10 +476,8 @@ def to_serving_layout(p: "PackedMX") -> "PackedMX":
     if p.codes.ndim == 3:
         return p
     assert p.axis == 0 and p.codes.ndim == 2
-    # sub-byte transports store `per` codes per byte: a block spans
-    # block_size // per rows of the packed array
-    per = {"sb4": 2, "sb2": 4}.get(p.transport, 1)
-    rows = p.block_size // per
+    # sub-byte transports store packed bytes: a block spans `rows` rows
+    rows = transport_rows_per_block(p.transport, p.block_size)
     K, N = p.codes.shape
     nb = K // rows
     import dataclasses as _dc
@@ -472,13 +537,16 @@ class PackedMX:
 
     @property
     def bits_per_element(self) -> float:
-        if self.transport == "emi8m":
-            elem_bits = 8
+        if self.transport in ("emi8", "emi8m"):
+            elem_bits = 8          # one byte per element, whatever the fmt
+        elif self.transport in ("sb4", "sb2", "pf4", "pf6"):
+            elem_bits = 8 * transport_rows_per_block(
+                self.transport, self.block_size) / self.block_size
         else:
-            elem_bits = {"int8": 8, "int4": 4, "int2": 2, "fp8_e5m2": 8,
-                         "fp8_e4m3": 8, "fp6_e3m2": 6, "fp6_e2m3": 6,
-                         "fp4": 4, "fp4_e2m1": 4, "fp16": 16, "bf16": 16}[
-                             self.elem_format]
+            # native: realized container bytes (int8/f8/f16), not the
+            # format's nominal width
+            elem_bits = 8 * jnp.dtype(container_dtype(
+                self.elem_format)).itemsize
         return elem_bits + self.scale_bits / self.block_size
 
 
@@ -566,6 +634,12 @@ def pack_mx(A: jax.Array, scale_bits: int, elem_format, block_size: int,
     if transport == "emi8":
         codes = _emi8_encode(q, fmt)
         codes = codes.reshape(blocked.shape[:-2] + (-1,))
+    elif transport in ("pf4", "pf6"):
+        want = ElemFormat.fp4 if transport == "pf4" else (
+            ElemFormat.fp6_e3m2, ElemFormat.fp6_e2m3)
+        assert (fmt == want if transport == "pf4" else fmt in want), \
+            f"{transport} transport needs a matching fp format, got {fmt}"
+        codes = _pf_pack(q, fmt, block_size, transport)
     elif transport in ("sb4", "sb2"):
         per, bits = subbyte_params(fmt)
         assert per == {"sb4": 2, "sb2": 4}[transport], \
@@ -599,6 +673,8 @@ def dequantize_mx(p: PackedMX, dtype=jnp.float32) -> jax.Array:
     if p.transport in ("sb4", "sb2"):
         per, bits = subbyte_params(p.elem_format)
         codes = _subbyte_unpack(codes, p.block_size, per, bits)
+    elif p.transport in ("pf4", "pf6"):
+        codes = _pf_unpack(codes, p.elem_format, p.block_size, p.transport)
     nb = codes.shape[-1] // p.block_size
     if p.transport == "emi8":
         vals = _emi8_decode_f32(codes, p.elem_format)
@@ -606,6 +682,10 @@ def dequantize_mx(p: PackedMX, dtype=jnp.float32) -> jax.Array:
     elif p.transport == "emi8m":
         vals = emi8m_decode_f32(codes, p.transport_mw)
         se = se.astype(jnp.int32) - p.transport_fold
+    elif p.transport in ("pf4", "pf6"):
+        ebits, mbits, _, _, _ = get_format_params(p.elem_format)
+        vals = pf_decode_int(codes, ebits, mbits - 2).astype(jnp.float32)
+        se = se.astype(jnp.int32) - emi8_fold(p.elem_format)
     else:
         vals = _code_decode(codes, p.elem_format)
     vals = vals.reshape(vals.shape[:-1] + (nb, p.block_size))

@@ -143,7 +143,7 @@ def _dq_matmul_outlier_kernel(refs, *, nk: int, block_size: int, fold: int,
 # ---------------------------------------------------------------------------
 def _sad_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
                 fold: int, decode: str, mw: int, block_size: int,
-                out_dtype):
+                out_dtype, ebits: int = 0):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -171,6 +171,36 @@ def _sad_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
             f = lax.shift_left(p32 >> (bits * i), 32 - bits)
             fields.append(lax.shift_right_arithmetic(f, 32 - bits))
         w = jnp.concatenate(fields, axis=1).astype(jnp.bfloat16)
+    elif decode in ("pf4", "pf6"):
+        # raw fp-bit sub-byte transports (packing._pf_pack layout): all
+        # sublane regroups + int32 VPU ops; mw carries the stored
+        # mantissa bits, fold = emi8_fold(fmt)
+        B_ = block_size
+        if decode == "pf6":
+            rows = 3 * B_ // 4
+            p3 = c2.reshape(tk // rows, rows, tn).astype(jnp.int32)
+            lo_p, hi_p = p3[:, :B_ // 2], p3[:, B_ // 2:]
+            lo = jnp.concatenate(
+                [(lo_p >> (4 * i)) & 0xF for i in range(2)], axis=1)
+            hi_f = []
+            for i in range(4):
+                f = lax.shift_left(hi_p >> (2 * i), 30)
+                hi_f.append(lax.shift_right_arithmetic(f, 30))
+            c = lax.shift_left(jnp.concatenate(hi_f, axis=1), 4) | lo
+        else:
+            rows = B_ // 2
+            p3 = c2.reshape(tk // rows, rows, tn).astype(jnp.int32)
+            fields = []
+            for i in range(2):
+                f = lax.shift_left(p3 >> (4 * i), 28)
+                fields.append(lax.shift_right_arithmetic(f, 28))
+            c = jnp.concatenate(fields, axis=1)
+        e = lax.shift_right_arithmetic(c, mw) & ((1 << ebits) - 1)
+        m = c & ((1 << mw) - 1)
+        ne = jnp.minimum(e, 1)
+        mag = lax.shift_left(m | lax.shift_left(ne, mw), e - ne)
+        smask = lax.shift_right_arithmetic(c, 31)
+        w = ((mag ^ smask) - smask).astype(jnp.bfloat16)
     else:
         c3 = c2.reshape(tk // block_size, block_size, tn)
         if decode == "emi8":
@@ -204,6 +234,9 @@ def _sad_fold(w: PackedMX) -> Tuple[str, int, int]:
         return "emi8", w.transport_fold, w.transport_mw
     if w.transport in ("sb4", "sb2"):
         return w.transport, _scale_fold(w.elem_format), 0
+    if w.transport in ("pf4", "pf6"):
+        _, mbits, _, _, _ = get_format_params(w.elem_format)
+        return w.transport, pk.emi8_fold(w.elem_format), mbits - 2
     return "native", _scale_fold(w.elem_format), 0
 
 
@@ -351,11 +384,13 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
     assert w.axis == 0, "fused GEMM expects transposed (K, N) weights"
     B = w.block_size
     decode, fold, mw = _sad_fold(w)
-    per = {"sb4": 2, "sb2": 4}.get(decode, 1)
+    rows = pk.transport_rows_per_block(decode, B)   # packed rows / block
+    ebits = (get_format_params(w.elem_format)[0]
+             if decode in ("pf4", "pf6") else 0)
     lead = x.shape[:-1]
     ww = pk.from_serving_layout(w)
     Krows, N = ww.codes.shape
-    Kp = Krows * per
+    Kp = Krows * B // rows
     x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
     M = x2.shape[0]
 
@@ -372,7 +407,8 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
 
     x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp2 - x2.shape[-1])))
     xb = x2.reshape(Mp, NBp, B).transpose(1, 0, 2)   # (NBp, Mp, B), tiny
-    codes = jnp.pad(ww.codes, ((0, (Kp2 - Kp) // per), (0, Np - N)))
+    codes = jnp.pad(ww.codes,
+                    ((0, (Kp2 - Kp) * rows // B), (0, Np - N)))
     se = jnp.pad(ww.scale_exp, ((0, (Kp2 - Kp) // B), (0, Np - N)))
 
     nk = Kp2 // TK
@@ -380,12 +416,13 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
 
     out = pl.pallas_call(
         functools.partial(_sad_kernel, nk=nk, fold=fold, decode=decode,
-                          mw=mw, block_size=B, out_dtype=out_dtype),
+                          mw=mw, block_size=B, out_dtype=out_dtype,
+                          ebits=ebits),
         grid=grid,
         in_specs=[
             pl.BlockSpec((nbt, TM, B), lambda i, j, k: (k, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK // per, TN), lambda i, j, k: (k, j),
+            pl.BlockSpec((TK * rows // B, TN), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TK // B, TN), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
@@ -427,7 +464,7 @@ def dequant_matmul(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
     M = 1
     for d in x.shape[:-1]:
         M *= d
-    if M <= 64 and (w.transport in ("emi8", "emi8m")
+    if M <= 64 and (w.transport in ("emi8", "emi8m", "pf4", "pf6")
                     or w.codes.dtype in (jnp.int8, jnp.bfloat16,
                                          jnp.float16)):
         return dequant_matmul_sad(x, w, out_dtype=out_dtype,

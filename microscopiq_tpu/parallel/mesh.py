@@ -142,11 +142,15 @@ def _packed_sharding(leaf, kernel_spec: P, mesh: Mesh):
             block_size=leaf.block_size, orig_n=leaf.orig_n,
             orig_k=leaf.orig_k)
     if isinstance(leaf, PackedMX):
-        return PackedMX(
-            codes=ns(k_ax, n_ax), scale_exp=ns(k_ax, n_ax),
-            elem_format=leaf.elem_format, block_size=leaf.block_size,
-            scale_bits=leaf.scale_bits, orig_dim=leaf.orig_dim,
-            axis=leaf.axis, transport=leaf.transport)
+        import dataclasses as _dc
+
+        # replace() keeps ALL static fields (incl. transport_mw/fold for
+        # emi8m) so the sharding tree's treedef matches the param tree's
+        if leaf.codes.ndim == 3:     # serving layout (nb, rows, N)
+            return _dc.replace(leaf, codes=ns(k_ax, None, n_ax),
+                               scale_exp=ns(k_ax, None, n_ax))
+        return _dc.replace(leaf, codes=ns(k_ax, n_ax),
+                           scale_exp=ns(k_ax, n_ax))
     return PackedMXOutlier(
         inlier=PackedMX(
             codes=ns(k_ax, n_ax), scale_exp=ns(k_ax, n_ax),

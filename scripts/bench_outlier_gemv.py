@@ -8,7 +8,10 @@ Compares, on one real chip, y = x @ W for a fused gate-up-sized weight
   sideband — PackedMXOutlier via the dequant-then-dot outlier kernel
              (in-kernel per-budget-slot scatter; the pre-emi8m path)
   emi8m    — the merged per-element byte stream via the scale-after-dot
-             GEMV (ops/packing.py merge_outlier_emi8)
+             GEMV (ops/packing.py merge_outlier_emi8), 8 bits/elem
+  nb       — the compact N-blocked transport (PackedOutlierNB: sb2
+             inliers + fixed-budget outlier side-band) at the paper's
+             ~3.5-4 bits/elem, via dequant_matmul_nb
 
 Methodology per MEMORY/bench.py: all variants timed interleaved in one
 process (chip clock drifts), min-of-k, work amortized under lax.scan with
@@ -35,8 +38,10 @@ def main():
     from jax import lax
 
     from microscopiq_tpu.ops import packing as pk
+    from microscopiq_tpu.ops.outlier import (
+        quantize_mx_outlier_hessian_decisions)
     from microscopiq_tpu.ops.pallas.dequant_matmul import (
-        dequant_matmul_outlier, dequant_matmul_sad)
+        dequant_matmul_nb, dequant_matmul_outlier, dequant_matmul_sad)
 
     # K=N=4096 keeps host-side packing fast on this 1-CPU box; the GEMV
     # is equally DMA-bound at this size (16 MB of codes per iteration)
@@ -56,9 +61,19 @@ def main():
         print(f"packed {time.perf_counter() - t0:.1f}s", flush=True)
         m = pk.to_serving_layout(pk.merge_outlier_emi8(p))
         print(f"merged {time.perf_counter() - t0:.1f}s", flush=True)
+        # compact transport: RTN decisions on the (N, K) GPTQ layout,
+        # outliers capped to the budget (the RTL's bounded SCOPE routing)
+        BUDGET = 2
+        _, _, dec = quantize_mx_outlier_hessian_decisions(
+            jnp.asarray(W.T), 8, 8, "int2", "fp4_e2m1", "max", 2.0, [0],
+            16, max_outliers_per_block=BUDGET)
+        dec["block_size"] = 16
+        pnb = pk.pack_outlier_nb(dec, budget=BUDGET)
+        print(f"nb packed ({pnb.bits_per_element:.2f} bits/elem) "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
     dev = jax.devices()[0]
-    p, m = jax.device_put((p, m), dev)
-    jax.block_until_ready((p, m))
+    p, m, pnb = jax.device_put((p, m, pnb), dev)
+    jax.block_until_ready((p, m, pnb))
     print(f"on device {time.perf_counter() - t0:.1f}s", flush=True)
     Wb = jax.device_put(jnp.asarray(W, jnp.bfloat16), dev)
     x0 = jax.device_put(
@@ -81,6 +96,7 @@ def main():
             preferred_element_type=jnp.float32)),
         "sideband": loop(lambda x: dequant_matmul_outlier(x, p)),
         "emi8m": loop(lambda x: dequant_matmul_sad(x, m)),
+        "nb": loop(lambda x: dequant_matmul_nb(x, pnb)),
     }
     for name, f in variants.items():
         float(f(x0))                               # compile + warm
@@ -93,8 +109,10 @@ def main():
             float(f(x0))
             best[k] = min(best[k], time.perf_counter() - t0)
 
+    nb_bytes = (pnb.codes.size + pnb.scale_exp.size + pnb.out_byte.size
+                + pnb.out_scale_exp.size)
     bytes_per = {"dense": K * N * 2, "sideband": K * N + K * N // 16 * 10,
-                 "emi8m": K * N + K * N // 16}
+                 "emi8m": K * N + K * N // 16, "nb": nb_bytes}
     for k, t in best.items():
         per = t / ITERS
         print(json.dumps({

@@ -173,6 +173,33 @@ def test_subbyte_transport_bitexact():
         assert p.codes.shape == (64 // per, 96)
 
 
+def test_pf_transport_bitexact():
+    """pf4/pf6 raw-fp-bit transports decode bit-exactly vs the native
+    containers at 4/6 bits per element (packing._pf_pack layout)."""
+    import jax.numpy as jnp
+
+    from microscopiq_tpu.ops.packing import (dequantize_mx,
+                                             from_serving_layout, pack_mx,
+                                             to_serving_layout)
+
+    rng = np.random.default_rng(7)
+    for fmt, tr, bs, rows in (("fp6_e3m2", "pf6", 32, 24),
+                              ("fp6_e2m3", "pf6", 32, 24),
+                              ("fp4_e2m1", "pf4", 16, 8)):
+        W = jnp.asarray(rng.normal(0, .5, (128, 96)).astype(np.float32))
+        W = W.at[0, :4].set(jnp.asarray([0.0, -0.0, 1e-9, 27.5]))
+        a = np.asarray(dequantize_mx(pack_mx(W, 8, fmt, bs, axis=0)))
+        p = pack_mx(W, 8, fmt, bs, axis=0, transport=tr)
+        b = np.asarray(dequantize_mx(p))
+        np.testing.assert_array_equal(a, b)
+        assert p.codes.shape == (128 * rows // bs, 96)
+        assert p.bits_per_element == 8 * rows / bs + 8 / bs
+        s = to_serving_layout(p)
+        assert s.codes.shape == (128 // bs, rows, 96)
+        np.testing.assert_array_equal(
+            np.asarray(dequantize_mx(from_serving_layout(s))), a)
+
+
 # ---------------------------------------------------------------------------
 # emi8m: two-level outlier format merged into one per-element byte stream
 # ---------------------------------------------------------------------------

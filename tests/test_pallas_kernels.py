@@ -128,6 +128,7 @@ from microscopiq_tpu.ops.pallas import dequant_matmul_sad  # noqa: E402
     ("int8", "native"), ("int4", "native"), ("int2", "native"),
     ("fp6_e3m2", "emi8"), ("fp6_e2m3", "emi8"), ("fp4_e2m1", "emi8"),
     ("int4", "sb4"), ("int2", "sb2"),
+    ("fp6_e3m2", "pf6"), ("fp6_e2m3", "pf6"), ("fp4_e2m1", "pf4"),
 ])
 def test_sad_matches_reference(fmt, transport):
     W = _weights_kn(256, 384)
