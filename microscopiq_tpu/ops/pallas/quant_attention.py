@@ -116,17 +116,31 @@ def _chunk_kernel(nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
                                      preferred_element_type=jnp.float32)
             pv = pv + mn_dot                             # (rep,1) bcast
         else:
-            vs = vsc_ref[0, 0].reshape(T, Gh)
-            vm = vmn_ref[0, 0].reshape(T, Gh)
-            sc_full = jnp.concatenate(
-                [jnp.broadcast_to(vs[:, gi:gi + 1], (T, vg))
-                 for gi in range(Gh)], axis=1)           # (T, hd)
-            mn_full = jnp.concatenate(
-                [jnp.broadcast_to(vm[:, gi:gi + 1], (T, vg))
-                 for gi in range(Gh)], axis=1)
-            v = vc * sc_full + mn_full
-            pv = lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+            # grouped V scales (v_group < hd): the scales arrive as Gh
+            # FLAT lane-native rows (1, 1, Gh, T) — sublane-major, so no
+            # tiny lane dim anywhere (the old (gap, Gh) layout was
+            # lane-padded 64x by Mosaic, +93 us/layer). Per group the
+            # Gh==1 fold applies on the group's lane segment:
+            #   p @ (vc*sc_g + mn_g) == (p*sc_g) @ vc  (lanes of g)
+            #                           + (p @ mn_g) ⊗ 1_g
+            # One stacked (Gh*rep, T) x (T, hd) dot computes every
+            # group's folded product; lane masks pick each group's
+            # segment — sublane concats/slices and lane selects only.
+            vs_rows = vsc_ref[0, 0]                      # (Gh, T)
+            vm_rows = vmn_ref[0, 0]
+            ps = jnp.concatenate(
+                [p * vs_rows[gi:gi + 1] for gi in range(Gh)], axis=0)
+            pv_all = lax.dot_general(
+                ps, vc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (Gh*rep, hd)
+            lane = lax.broadcasted_iota(jnp.int32, (rep, hd), 1)
+            pv = jnp.zeros((rep, hd), jnp.float32)
+            for gi in range(Gh):
+                mnd = jnp.sum(p * vm_rows[gi:gi + 1], axis=1,
+                              keepdims=True)             # (rep, 1)
+                seg = pv_all[gi * rep:(gi + 1) * rep] + mnd
+                pv = pv + jnp.where(
+                    (lane >= gi * vg) & (lane < (gi + 1) * vg), seg, 0.0)
         acc_ref[:] = acc_ref[:] * alpha + pv
         ls_ref[:, :1] = ls_ref[:, :1] * alpha + jnp.sum(p, axis=1,
                                                         keepdims=True)
@@ -162,18 +176,17 @@ def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, nfull, scale,
         # second-minor dim equal to the array's — a Mosaic tiling rule)
         vmn = vmn.reshape(B, KVH, 1, C * gap)
         vsc = vsc.reshape(B, KVH, 1, C * gap)
-    # chunks per grid step: target ~256 KB of codes per operand DMA
-    # (the f32 dequant temporaries are 4x the codes; ~512 KB tiles blew
-    # Mosaic's 16 MB scoped-vmem budget by a hair)
-    if Gh == 1:
-        # flat scale blocks need lane sizes divisible by 128 (or the full
-        # array dim); one full-width tile satisfies that for any C and
-        # keeps VMEM modest (C*gap*hd codes ~400 KB, f32 temps ~2 MB)
-        cb = C
     else:
-        cb = max(1, min(C, (256 * 1024) // (gap * hd)))
-        while C % cb:
-            cb -= 1
+        # grouped scales: Gh flat lane-native rows per (b, g) — Gh on
+        # SUBLANES, tokens on lanes. The (..., gap, Gh) storage layout
+        # would put Gh on the lane dim (64x Mosaic padding); this
+        # transpose is a few KB per layer per step.
+        vmn = vmn.transpose(0, 1, 4, 2, 3).reshape(B, KVH, Gh, C * gap)
+        vsc = vsc.transpose(0, 1, 4, 2, 3).reshape(B, KVH, Gh, C * gap)
+    # flat scale blocks need lane sizes divisible by 128 (or the full
+    # array dim); one full-width tile satisfies that for any C and
+    # keeps VMEM modest (C*gap*hd codes ~400 KB, f32 temps ~2 MB)
+    cb = C
     ncb = C // cb
     grid = (B, KVH, ncb)
     kernel = functools.partial(
@@ -193,14 +206,10 @@ def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, nfull, scale,
                          lambda b, g, c, s: (b, g, 0, 0)),
             pl.BlockSpec((1, 1, cb, rows, hd),
                          lambda b, g, c, s: (b, g, c, 0, 0)),
-            *([pl.BlockSpec((1, 1, 1, cb * gap),
-                            lambda b, g, c, s: (b, g, 0, c)),
-               pl.BlockSpec((1, 1, 1, cb * gap),
-                            lambda b, g, c, s: (b, g, 0, c))] if Gh == 1 else
-              [pl.BlockSpec((1, 1, cb, gap, Gh),
-                            lambda b, g, c, s: (b, g, c, 0, 0)),
-               pl.BlockSpec((1, 1, cb, gap, Gh),
-                            lambda b, g, c, s: (b, g, c, 0, 0))]),
+            pl.BlockSpec((1, 1, Gh, cb * gap),
+                         lambda b, g, c, s: (b, g, 0, c)),
+            pl.BlockSpec((1, 1, Gh, cb * gap),
+                         lambda b, g, c, s: (b, g, 0, c)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, rep, hd), lambda b, g, c, s: (b, g, 0, 0)),

@@ -84,6 +84,25 @@ def test_twin_matches_cache_assembly():
     np.testing.assert_allclose(y_twin, y_direct, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("v_group", [128, 64, 32])
+def test_kernel_grouped_v_scales(v_group):
+    """Gh = hd//v_group ∈ {1, 2, 4}: the grouped fast path (stacked
+    folded dots + lane masks, Gh sublane-major flat scales) must match
+    the twin for every group count (compress_function.py:41-70 group
+    semantics)."""
+    B, KVH, hd, gap, length = 1, 2, 128, 64, 170
+    cfg, st, slices, k, v = _make_state(B, KVH, hd, gap, 256, length,
+                                        v_group=v_group)
+    q = jnp.asarray(RNG.standard_normal((B, 8, hd)), jnp.float32)
+    scale = hd ** -0.5
+    y_ref = np.asarray(quant_attention_decode_reference(
+        q, slices, 0, jnp.int32(length), cfg.v_group, scale))
+    y_ker = np.asarray(quant_attention_decode(
+        q, slices, 0, jnp.int32(length), cfg.v_group, scale,
+        interpret=True))
+    np.testing.assert_allclose(y_ker, y_ref, atol=2e-2, rtol=2e-2)
+
+
 def test_kernel_mha_rep1():
     """MHA case (rep=1) also works."""
     B, KVH, hd, gap, length = 1, 4, 128, 64, 130
