@@ -109,9 +109,15 @@ def make_decoder(model, cfg, B, S0, steps, max_len):
     return prefill, decode, state0
 
 
-def main():
-    import dataclasses
+def _tree_bytes(tree):
+    import jax
 
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree_util.tree_leaves(tree)
+               if hasattr(x, "dtype"))
+
+
+def main():
     import jax
     import jax.numpy as jnp
 
@@ -120,34 +126,43 @@ def main():
     from microscopiq_tpu.specs import finalize_mx_specs
 
     on_tpu = jax.default_backend() == "tpu"
-    layers = 12 if on_tpu else 2   # both param sets live at once (interleaved timing); 12L dense+packed+caches fit 16 GB HBM
-    cfg = LlamaConfig.llama3_8b(num_hidden_layers=layers,
-                                dtype=jnp.bfloat16,
-                                fused_projections=True)
-    if not on_tpu:
-        cfg = LlamaConfig.tiny(dtype=jnp.bfloat16, fused_projections=True)
-
+    # Phase 1 (ratio): dense and packed interleaved in one process — the
+    # chip clock drifts 1.5-2x between minutes, so only interleaved
+    # ratios are trustworthy. Both models resident => 12L fits 16 GB.
+    # Phase 2 (full depth): the FULL 32L packed model, alone. Dense bf16
+    # Llama-3-8B (~16 GB weights) does not fit the chip at all — the
+    # packed transport is what makes single-chip 8B serving possible —
+    # so the full-depth dense baseline is the interleaved per-layer
+    # measurement extrapolated to 32L.
+    ratio_layers = 12 if on_tpu else 2
+    full_layers = 32 if on_tpu else 2
     B, S0, STEPS = 8, 128, 32
     max_len = S0 + STEPS + 8
-    ids = jnp.asarray(np.random.default_rng(0).integers(
-        0, cfg.vocab_size, (B, S0)))
     specs = finalize_mx_specs({"w_elem_format": "fp6_e3m2",
                                "scale_bits": 8, "block_size": 32})
 
-    runs = {}
-    for tag, packed in (("dense", None), ("packed", specs)):
+    def build(layers, packed):
+        cfg = LlamaConfig.llama3_8b(num_hidden_layers=layers,
+                                    dtype=jnp.bfloat16,
+                                    fused_projections=True)
+        if not on_tpu:
+            cfg = LlamaConfig.tiny(dtype=jnp.bfloat16,
+                                   fused_projections=True)
         model = LlamaForCausalLM(cfg, use_pallas=on_tpu)
         params = build_params(cfg, jax.random.PRNGKey(0),
                               packed_specs=packed)
         params = {"params": fuse_projections(params["params"])}
+        ids = jnp.asarray(np.random.default_rng(0).integers(
+            0, cfg.vocab_size, (B, S0)))
         prefill, decode, state0 = make_decoder(model, cfg, B, S0, STEPS,
                                                max_len)
         tok0, st = prefill(params, ids, state0)
         toks = decode(params, tok0, st)
         _ = np.asarray(toks)[:1]          # compile + warm
-        runs[tag] = (decode, params, tok0, st)
-        gc.collect()
+        return decode, params, tok0, st
 
+    runs = {tag: build(ratio_layers, pk)
+            for tag, pk in (("dense", None), ("packed", specs))}
     best = {tag: 9e9 for tag in runs}
     for _ in range(6):                    # interleave to cancel drift
         for tag, (decode, params, tok0, st) in runs.items():
@@ -155,20 +170,52 @@ def main():
             toks = decode(params, tok0, st)
             _ = np.asarray(toks)[:1]
             best[tag] = min(best[tag], time.perf_counter() - t0)
+    ratio = best["dense"] / best["packed"]
 
-    tps = {tag: B * STEPS / t for tag, t in best.items()}
+    del runs
+    gc.collect()
+
+    # ---- phase 2: full-depth packed model, HBM-bandwidth accounting
+    decode, params, tok0, st = build(full_layers, specs)
+    weight_bytes = _tree_bytes(params)
+    kv_bytes = _tree_bytes(st)
+    tb = 9e9
+    for _ in range(4):
+        t0 = time.perf_counter()
+        toks = decode(params, tok0, st)
+        _ = np.asarray(toks)[:1]
+        tb = min(tb, time.perf_counter() - t0)
+    step_s = tb / STEPS
+    tps_full = B * STEPS / tb
+    # every decode step streams all weights once; KV is read+written a
+    # tiny slice but read fully by attention over the filled prefix
+    fill = (S0 + STEPS / 2) / max_len
+    hbm_bytes = weight_bytes + kv_bytes * fill
+    achieved = hbm_bytes / step_s
+    peak = 819e9                          # v5e HBM peak (~819 GB/s)
+    dense_ms_ext = best["dense"] / STEPS * 1e3 * full_layers / ratio_layers
+
     print(json.dumps({
-        "metric": f"decode tokens/s, Llama-3-8B arch ({layers}L) MX-FP6 "
-                  f"emi8 packed + fused-GEMV, B={B}, 1 chip",
-        "value": round(tps["packed"], 1),
+        "metric": f"decode tokens/s, Llama-3-8B ({full_layers}L, full "
+                  f"depth) MX-FP6 emi8 packed + fused-GEMV, B={B}, 1 chip",
+        "value": round(tps_full, 1),
         "unit": "tokens/s",
-        "vs_baseline": round(tps["packed"] / tps["dense"], 4),
-        "extra": {"dense_bf16_tokens_per_s": round(tps["dense"], 1),
-                  "ms_per_step_packed": round(best["packed"] / STEPS * 1e3,
-                                              2),
-                  "ms_per_step_dense": round(best["dense"] / STEPS * 1e3,
-                                             2),
-                  "backend": jax.default_backend()},
+        "vs_baseline": round(ratio, 4),
+        "extra": {
+            "note": ("vs_baseline is the interleaved dense-vs-packed "
+                     f"ratio at {ratio_layers}L (dense bf16 8B does not "
+                     "fit one 16 GB chip; packed does)"),
+            "ms_per_step_full": round(step_s * 1e3, 2),
+            "ms_per_step_dense_extrapolated": round(dense_ms_ext, 2),
+            "weight_gb": round(weight_bytes / 1e9, 2),
+            "achieved_GBps": round(achieved / 1e9, 1),
+            "hbm_fraction": round(achieved / peak, 3),
+            "ratio_layers": ratio_layers,
+            "ms_per_step_packed_ratio_phase": round(
+                best["packed"] / STEPS * 1e3, 2),
+            "ms_per_step_dense_ratio_phase": round(
+                best["dense"] / STEPS * 1e3, 2),
+            "backend": jax.default_backend()},
     }))
 
 

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..formats import FP32_EXPONENT_BIAS, get_format_params
 from .elemwise import mul_pow2, quantize_elemwise_core
+from ..specs import mx_assert_finite
 from .mx import (
     _normalize_axes,
     reshape_to_blocks,
@@ -178,17 +179,23 @@ def _outlier_quantize_core(
         allow_denorm=True, saturate_normals=True)
     inlier_code = inlier_val            # pre-L1-scale value == the code
     inlier_val = mul_pow2(inlier_val, shared_exp_in)
+    # NaN guards at the reference's check points (utils/quant.py:103-128)
+    inlier_val = mx_assert_finite(inlier_val, "inlier_val")
+    outlier_val = mx_assert_finite(outlier_val, "outlier_val (level-1)")
 
     # ---- Level-2 (outlier) shared scale -------------------------------
     shared_exp_out = shared_exponents(
         outlier_val, method=shared_exp_method, axes=shared_exp_axes, ebits=0)
     shared_exp_out = _clamp_shared_exp(
         shared_exp_out, emax_out, outlier_scale_bits, underflow_floor_20)
+    # catches the deliberate NaN-poisoning of overflowed level-2 scales
+    shared_exp_out = mx_assert_finite(shared_exp_out, "shared_exp_out")
 
     outlier_val = mul_pow2(outlier_val, -shared_exp_out)
     outlier_val = quantize_elemwise_core(
         outlier_val, mbits_out, ebits_out, max_norm_out, round=round,
         allow_denorm=True, saturate_normals=True)
+    outlier_val = mx_assert_finite(outlier_val, "outlier_val (quantized)")
     outlier_code = outlier_val          # pre-scale value == the code
     outlier_val = mul_pow2(mul_pow2(outlier_val, shared_exp_out), -shared_exp_in)
 

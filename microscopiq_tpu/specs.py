@@ -240,6 +240,31 @@ def get_mx_specs(parsed_args: argparse.Namespace) -> Optional[MxSpecs]:
     return finalize_mx_specs(parsed, early_exit=early_exit)
 
 
+def mx_assert_finite(x, name: str):
+    """Env-gated (MX_ASSERT=True) NaN guard — the TPU analog of the
+    reference's quant-path asserts (utils/quant.py:103-128), which catch
+    the deliberate NaN-poisoning of overflowed shared scales. Eager
+    arrays are checked synchronously; under jit a host debug callback
+    raises at the next sync. No-op (and traced-out) when MX_ASSERT is
+    unset, so the hot path pays nothing in production."""
+    if _ASSERT_MODE != "True":
+        return x
+    import jax
+    import jax.numpy as jnp
+
+    def _chk(bad):
+        if bad:
+            raise FloatingPointError(
+                f"MX assert: {name} contains NaN values")
+
+    bad = jnp.isnan(x).any()
+    if isinstance(bad, jax.core.Tracer):
+        jax.debug.callback(_chk, bad)
+    else:
+        _chk(bool(bad))
+    return x
+
+
 def mx_assert_test(mx_specs) -> None:
     """Env-gated (MX_ASSERT=True) check that a spec reached an MX op
     (specs.py:343-355)."""

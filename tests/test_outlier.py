@@ -103,3 +103,31 @@ def test_max_outliers_per_block_cap():
             top2 = np.flatnonzero(m0[b])[
                 np.argsort(-a[b][m0[b].astype(bool)], kind="stable")][:2]
             assert set(kept) == set(top2)
+
+
+def test_mx_assert_nan_guard(monkeypatch):
+    """MX_ASSERT-gated NaN guards (utils/quant.py:103-128 analog): a
+    level-2 scale overflow (deliberately NaN-poisoned by
+    _clamp_shared_exp) raises at the reference's check point when the
+    assert mode is on, and stays silent when off."""
+    import microscopiq_tpu.specs as specs
+    from microscopiq_tpu.ops.outlier import quantize_mx_outlier_hessian
+
+    rng = np.random.default_rng(0)
+    A = (rng.standard_normal((128, 4)) * 1000).astype(np.float32)
+    A[0, 0] = 1e8            # genuine outlier with huge range vs L1
+    Aj = jnp.asarray(A)
+
+    monkeypatch.setattr(specs, "_ASSERT_MODE", "True")
+    with pytest.raises(FloatingPointError, match="shared_exp_out"):
+        quantize_mx_outlier_hessian(Aj, 8, 3, "int2", "fp4", "max",
+                                    2.0, [0], 16)
+    # clean inputs pass with asserts on
+    q, _ = quantize_mx_outlier_hessian(
+        jnp.asarray(rng.standard_normal((64, 4)).astype(np.float32)),
+        8, 8, "int2", "fp4", "max", 2.0, [0], 16)
+    assert np.isfinite(np.asarray(q)).all()
+
+    monkeypatch.setattr(specs, "_ASSERT_MODE", "False")
+    q2, _ = quantize_mx_outlier_hessian(Aj, 8, 3, "int2", "fp4", "max",
+                                        2.0, [0], 16)   # no raise
