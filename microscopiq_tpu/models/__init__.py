@@ -9,6 +9,7 @@ from .llama import (  # noqa: F401
 )
 from .loading import (  # noqa: F401
     convert_llama,
+    convert_mpt,
     convert_opt,
     load_hf_state_dict,
     state_dict_from_torch_model,

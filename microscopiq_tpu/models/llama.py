@@ -46,6 +46,14 @@ class LlamaConfig:
     num_local_experts: int = 0                 # Mixtral (0 = dense)
     num_experts_per_tok: int = 2
     tie_word_embeddings: bool = False
+    # model-family knobs (MPT = alibi + ln + gelu; Llama = the defaults).
+    # ALiBi rides key-slot indices only (softmax shift-invariance, the HF
+    # build_mpt_alibi_tensor trick) so it is exact under left-padding and
+    # every KV cache that appends in token order.
+    pos_emb: str = "rope"                      # "rope" | "alibi"
+    norm_type: str = "rms"                     # "rms" | "ln" (no bias)
+    mlp_type: str = "swiglu"                   # "swiglu" | "gelu"
+    alibi_bias_max: float = 8.0
     dtype: Any = jnp.float32
     # serving-mode layout: q/k/v and gate/up each merged into one wide
     # projection (one fused dequant-GEMM call instead of three/two —
@@ -92,6 +100,30 @@ class LlamaConfig:
         base.update(kw)
         return LlamaConfig(**base)
 
+    @staticmethod
+    def mpt_7b(**kw) -> "LlamaConfig":
+        """MPT-7B geometry (HF MptConfig defaults: d_model=4096, n_heads=32,
+        n_layers=32, ffn = 4*d, ALiBi, biasless LayerNorm, exact GELU,
+        tied embeddings)."""
+        base = dict(vocab_size=50432, hidden_size=4096,
+                    intermediate_size=16384, num_hidden_layers=32,
+                    num_attention_heads=32, num_key_value_heads=32,
+                    max_position_embeddings=2048, rms_norm_eps=1e-5,
+                    pos_emb="alibi", norm_type="ln", mlp_type="gelu",
+                    tie_word_embeddings=True)
+        base.update(kw)
+        return LlamaConfig(**base)
+
+    @staticmethod
+    def tiny_mpt(**kw) -> "LlamaConfig":
+        base = dict(vocab_size=256, hidden_size=64, intermediate_size=256,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    num_key_value_heads=4, max_position_embeddings=128,
+                    rms_norm_eps=1e-5, pos_emb="alibi", norm_type="ln",
+                    mlp_type="gelu", tie_word_embeddings=True)
+        base.update(kw)
+        return LlamaConfig(**base)
+
 
 def rope(q, k, positions, head_dim, theta):
     """Rotary embeddings (modeling_llama_new.py:178-240 semantics)."""
@@ -107,6 +139,20 @@ def rope(q, k, positions, head_dim, theta):
                                 x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
 
     return rot(q), rot(k)
+
+
+def alibi_slopes(num_heads: int, bias_max: float = 8.0) -> jnp.ndarray:
+    """Per-head ALiBi slopes, matching HF `build_mpt_alibi_tensor`
+    (modeling_mpt.py): geometric over the next power of two, interleave-
+    selected when num_heads is not a power of two."""
+    import math
+
+    npow = 2 ** math.ceil(math.log2(num_heads))
+    base = jnp.arange(1, npow + 1, dtype=jnp.float32) * (bias_max / npow)
+    slopes = 1.0 / jnp.exp2(base)
+    if npow != num_heads:
+        slopes = jnp.concatenate([slopes[1::2], slopes[::2]])[:num_heads]
+    return slopes
 
 
 class QLinear(fnn.Module):
@@ -197,13 +243,14 @@ class Attention(fnn.Module):
             k = mk(KVH * hd, "k_proj")(x).reshape(B, S, KVH, hd)
             v = mk(KVH * hd, "v_proj")(x).reshape(B, S, KVH, hd)
 
-        q, k = rope(q, k, positions, hd, cfg.rope_theta)
+        if cfg.pos_emb == "rope":
+            q, k = rope(q, k, positions, hd, cfg.rope_theta)
 
         scale = hd ** -0.5
         if cache is not None:
             from ..kv.cache import (QuantizedDecodeCache,
                                     SlotQuantizedDecodeCache)
-            if (S == 1 and self.use_pallas
+            if (S == 1 and self.use_pallas and cfg.pos_emb == "rope"
                     and isinstance(cache, (QuantizedDecodeCache,
                                            SlotQuantizedDecodeCache))
                     and hd % 128 == 0 and cache.cfg.gap % 8 == 0
@@ -220,6 +267,17 @@ class Attention(fnn.Module):
                 return mk(cfg.hidden_size, "o_proj")(out)
             k, v, mask = cache.update(layer_idx, k, v, positions, mask)
 
+        L = k.shape[1]
+        alibi = None
+        if cfg.pos_emb == "alibi":
+            # key-index-only bias (HF build_mpt_alibi_tensor semantics):
+            # slope_h * (j - (L-1)). Linear in the key slot, so softmax
+            # shift-invariance makes it exactly the -slope*distance bias
+            # for EVERY query row, under any left-padding or append-order
+            # cache. Added in f32 — its magnitude would swamp bf16 logits.
+            sl = alibi_slopes(H, cfg.alibi_bias_max)
+            alibi = sl[:, None] * (jnp.arange(L, dtype=jnp.float32)
+                                   - (L - 1))[None, :]        # (H, L)
         rep = H // k.shape[2]
         if rep > 1:
             # GQA via grouped einsum — never materialize repeated K/V
@@ -227,17 +285,23 @@ class Attention(fnn.Module):
             # rep x the cache bytes per step)
             G = k.shape[2]
             qg = q.reshape(B, S, G, rep, hd)
-            logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k) * scale
+            logits = jnp.einsum("bqgrd,bkgd->bgrqk", qg, k
+                                ).astype(jnp.float32) * scale
+            if alibi is not None:
+                logits = logits + alibi.reshape(G, rep, 1, L)[None]
             logits = jnp.where(mask[:, :, None], logits,
                                jnp.finfo(jnp.float32).min)
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = jax.nn.softmax(logits, axis=-1)
             probs = probs.astype(v.dtype)
             out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v)
             out = out.reshape(B, S, H * hd)
         else:
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k
+                                ).astype(jnp.float32) * scale
+            if alibi is not None:
+                logits = logits + alibi[None, :, None, :]
             logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            probs = jax.nn.softmax(logits, axis=-1)
             probs = probs.astype(v.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v
                              ).reshape(B, S, H * hd)
@@ -255,6 +319,10 @@ class MLP(fnn.Module):
         mk = lambda feat, name: QLinear(feat, self.mx_specs, False,
                                         cfg.dtype, self.use_pallas, name=name)
         I = cfg.intermediate_size
+        if cfg.mlp_type == "gelu":
+            # MPT MptMLP: up -> exact GELU -> down, no gate
+            h = jax.nn.gelu(mk(I, "up_proj")(x), approximate=False)
+            return mk(cfg.hidden_size, "down_proj")(h)
         if cfg.fused_projections:
             gu = mk(2 * I, "gate_up_proj")(x)
             gate, up = gu[..., :I], gu[..., I:]
@@ -294,6 +362,16 @@ class MoEBlock(fnn.Module):
         return jnp.einsum("bsed,bse->bsd", outs, combine)
 
 
+def _make_norm(cfg: LlamaConfig, mx_specs, name: str):
+    """RMSNorm (Llama) or biasless LayerNorm (MPT norm_1/norm_2/norm_f —
+    HF sets `.bias = None` on every MptBlock LayerNorm)."""
+    if cfg.norm_type == "ln":
+        return mnn.LayerNorm(cfg.hidden_size, cfg.rms_norm_eps,
+                             use_bias=False, mx_specs=mx_specs, name=name)
+    return mnn.RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
+                       mx_specs=mx_specs, name=name)
+
+
 class DecoderLayer(fnn.Module):
     cfg: LlamaConfig
     mx_specs: Optional[MxSpecs] = None
@@ -302,14 +380,11 @@ class DecoderLayer(fnn.Module):
     @fnn.compact
     def __call__(self, x, positions, mask, cache=None, layer_idx: int = 0):
         cfg = self.cfg
-        h = mnn.RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
-                        mx_specs=self.mx_specs, name="input_layernorm")(x)
+        h = _make_norm(cfg, self.mx_specs, "input_layernorm")(x)
         x = x + Attention(cfg, self.mx_specs, self.use_pallas,
                           name="self_attn")(h, positions, mask, cache,
                                             layer_idx)
-        h = mnn.RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
-                        mx_specs=self.mx_specs,
-                        name="post_attention_layernorm")(x)
+        h = _make_norm(cfg, self.mx_specs, "post_attention_layernorm")(x)
         if cfg.num_local_experts > 0:
             x = x + MoEBlock(cfg, self.mx_specs, self.use_pallas,
                              name="block_sparse_moe")(h)
@@ -359,8 +434,7 @@ class LlamaModel(fnn.Module):
         for i in range(cfg.num_hidden_layers):
             x = DecoderLayer(cfg, self.mx_specs, self.use_pallas,
                              name=f"layers_{i}")(x, positions, mask, cache, i)
-        x = mnn.RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
-                        mx_specs=self.mx_specs, name="norm")(x)
+        x = _make_norm(cfg, self.mx_specs, "norm")(x)
         return x
 
 

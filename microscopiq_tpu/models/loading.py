@@ -92,6 +92,49 @@ def convert_llama(state: Dict[str, np.ndarray], cfg: LlamaConfig):
     return {"params": p}
 
 
+def convert_mpt(state: Dict[str, np.ndarray], cfg: LlamaConfig):
+    """HF MPT state dict → LlamaForCausalLM params (MPT family knobs).
+
+    Layout (transformers modeling_mpt.py): transformer.wte, per block
+    norm_1 / attn.Wqkv / attn.out_proj / norm_2 / ffn.{up,down}_proj,
+    final transformer.norm_f; embeddings tied, all Linears biasless and
+    every LayerNorm bias is None. Wqkv is split into q/k/v thirds here —
+    serving refuses nothing: nn.mapping.fuse_projections re-merges them.
+    """
+    def g(k):
+        return state.get("transformer." + k, state.get(k))
+
+    d = cfg.hidden_size
+    p = {"model": {}}
+    m = p["model"]
+    m["embed_tokens"] = jnp.asarray(g("wte.weight"))
+    for i in range(cfg.num_hidden_layers):
+        pre = f"blocks.{i}."
+        wqkv = g(pre + "attn.Wqkv.weight")          # (3d, d)
+        layer = {
+            "self_attn": {
+                "q_proj": {"kernel": _t(wqkv[:d])},
+                "k_proj": {"kernel": _t(wqkv[d:2 * d])},
+                "v_proj": {"kernel": _t(wqkv[2 * d:])},
+                "o_proj": {"kernel": _t(g(pre + "attn.out_proj.weight"))},
+            },
+            "input_layernorm": {
+                "scale": jnp.asarray(g(pre + "norm_1.weight"))},
+            "post_attention_layernorm": {
+                "scale": jnp.asarray(g(pre + "norm_2.weight"))},
+            "mlp": {
+                "up_proj": {"kernel": _t(g(pre + "ffn.up_proj.weight"))},
+                "down_proj": {"kernel": _t(g(pre + "ffn.down_proj.weight"))},
+            },
+        }
+        m[f"layers_{i}"] = layer
+    m["norm"] = {"scale": jnp.asarray(g("norm_f.weight"))}
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = {"kernel": _t(state.get(
+            "lm_head.weight", g("wte.weight")))}
+    return {"params": p}
+
+
 def convert_opt(state: Dict[str, np.ndarray], cfg: OPTConfig):
     """HF OPT state dict → OPTForCausalLM params."""
     def g(k):

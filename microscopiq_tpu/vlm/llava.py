@@ -74,6 +74,24 @@ class LlavaConfig:
         base.update(kw)
         return LlavaConfig(**base)
 
+    @staticmethod
+    def mpt(text_kw: Optional[dict] = None, **kw) -> "LlavaConfig":
+        """MPT-backed LLaVA (llava_mpt.py:25-97): the reference wraps
+        MptForCausalLM in the same LlavaMetaModel; here the MPT family
+        knobs (ALiBi / biasless LayerNorm / GELU, models/llama.py
+        mpt_7b) back the identical multimodal arch."""
+        text = LlamaConfig.mpt_7b(**(text_kw or {}))
+        base = dict(text=text, vision=CLIPVisionConfig())
+        base.update(kw)
+        return LlavaConfig(**base)
+
+    @staticmethod
+    def tiny_mpt(**kw) -> "LlavaConfig":
+        base = dict(text=LlamaConfig.tiny_mpt(),
+                    vision=CLIPVisionConfig.tiny())
+        base.update(kw)
+        return LlavaConfig(**base)
+
 
 def splice_image_features(text_embeds, image_feats, image_token_mask):
     """Static-shape splice: where mask, take next image feature in order.
@@ -120,6 +138,9 @@ class LlavaForCausalLM(fnn.Module):
                        name="model")(input_ids, positions, mask, cache,
                                      inputs_embeds, image_feats,
                                      image_token_mask)
+        if tc.tie_word_embeddings:     # MPT-backed LLaVA ties lm_head
+            embed = self.variables["params"]["model"]["embed_tokens"]
+            return x @ embed.T
         logits = QLinear(tc.vocab_size, None, False, tc.dtype,
                          self.use_pallas, name="lm_head")(x)
         return logits
@@ -144,26 +165,40 @@ def multimodal_hidden(cfg: LlavaConfig, params, input_ids,
                                  image_token_mask)
 
 
-def convert_hf_llava(state_dict, cfg: LlavaConfig) -> dict:
+def convert_hf_llava(state_dict, cfg: LlavaConfig,
+                     vision_params=None, projector_params=None) -> dict:
     """Full HF LLaVA checkpoint → flax param tree.
 
-    LM weights live under ``model.*`` / ``lm_head.*`` (llama layout);
-    vision tower under ``model.vision_tower.vision_tower.vision_model.*``;
-    projector under ``model.mm_projector.*``.
+    LM weights live under ``model.*`` / ``lm_head.*`` (llama layout) or
+    ``transformer.*`` (MPT layout, auto-detected); vision tower under
+    ``<base>.vision_tower.vision_tower.vision_model.*``; projector under
+    ``<base>.mm_projector.*``. Pass ``vision_params``/``projector_params``
+    to graft already-converted flax subtrees instead (e.g. a text-only LM
+    checkpoint paired with a separately loaded CLIP tower).
     """
-    from ..models.loading import convert_llama
+    from ..models.loading import convert_llama, convert_mpt
     from .clip import convert_hf_clip_vision
     from .projector import convert_hf_projector
 
     lm_sd = {k: v for k, v in state_dict.items()
              if not k.startswith(("model.vision_tower",
-                                  "model.mm_projector"))}
-    params = convert_llama(lm_sd, cfg.text)["params"]
-    params["vision_tower"] = convert_hf_clip_vision(
+                                  "model.mm_projector",
+                                  "transformer.vision_tower",
+                                  "transformer.mm_projector"))}
+    # MPT-backed LLaVA checkpoints use the transformer.blocks.* layout
+    # (llava_mpt.py wraps MptForCausalLM whose base is `transformer`)
+    is_mpt = any(k.startswith("transformer.blocks.") for k in lm_sd)
+    conv = convert_mpt if is_mpt else convert_llama
+    params = conv(lm_sd, cfg.text)["params"]
+    base = "transformer" if is_mpt else "model"
+    params["vision_tower"] = (vision_params if vision_params is not None
+                              else convert_hf_clip_vision(
         state_dict, cfg.vision,
-        prefix="model.vision_tower.vision_tower.vision_model.")
-    params["mm_projector"] = convert_hf_projector(
-        state_dict, cfg.projector_type)
+        prefix=f"{base}.vision_tower.vision_tower.vision_model."))
+    params["mm_projector"] = (projector_params
+                              if projector_params is not None
+                              else convert_hf_projector(
+        state_dict, cfg.projector_type, prefix=f"{base}.mm_projector."))
     return {"params": params}
 
 

@@ -51,6 +51,61 @@ def test_llama_vs_hf_transformers():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+def test_mpt_vs_hf_transformers():
+    """MPT family knobs (ALiBi / biasless LN / exact-GELU / tied lm_head)
+    must match HF's torch MptForCausalLM on the same random weights —
+    including the key-index-only ALiBi formulation."""
+    import torch
+    from transformers import MptConfig as HFMptConfig
+    from transformers import MptForCausalLM as HFMpt
+
+    hf_cfg = HFMptConfig(d_model=64, n_heads=4, n_layers=2,
+                         vocab_size=128, max_seq_len=64,
+                         attn_implementation="eager")
+    torch.manual_seed(0)
+    hf = HFMpt(hf_cfg).eval()
+
+    cfg = LlamaConfig.tiny_mpt(vocab_size=128, hidden_size=64,
+                               intermediate_size=256,
+                               num_hidden_layers=2, num_attention_heads=4,
+                               num_key_value_heads=4)
+    from microscopiq_tpu.models import convert_mpt
+    params = convert_mpt(state_dict_from_torch_model(hf), cfg)
+    model = LlamaForCausalLM(cfg)
+
+    ids = np.random.default_rng(1).integers(0, 128, (2, 12))
+    with torch.no_grad():
+        want = hf(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_mpt_decode_cache_matches_prefill():
+    """ALiBi decode through the KV cache must equal full prefill logits —
+    the key-slot bias must line up across cache appends."""
+    from microscopiq_tpu.kv.cache import DenseDecodeCache, init_dense_cache
+
+    cfg = LlamaConfig.tiny_mpt()
+    model = LlamaForCausalLM(cfg)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, 256, (1, 10)))
+    params = model.init(jax.random.PRNGKey(0), ids)
+    full = np.asarray(model.apply(params, ids))
+
+    state = init_dense_cache(cfg.num_hidden_layers, 1, 16,
+                             cfg.num_key_value_heads, cfg.head_dim,
+                             dtype=jnp.float32)
+    step_logits = []
+    for t in range(10):
+        cache = DenseDecodeCache(state)
+        out = model.apply(params, ids[:, t:t + 1],
+                          positions=jnp.array([[t]]), cache=cache)
+        state = cache.finalize()
+        step_logits.append(np.asarray(out)[:, 0])
+    got = np.stack(step_logits, axis=1)
+    np.testing.assert_allclose(got, full, rtol=2e-4, atol=2e-4)
+
+
 def test_mistral_sliding_window_mask():
     cfg = LlamaConfig.tiny(sliding_window=8)
     model = LlamaForCausalLM(cfg)

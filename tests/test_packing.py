@@ -87,8 +87,16 @@ def test_pack_outlier_budget_truncates_gracefully():
 
 
 def test_bits_per_element():
+    # bits_per_element reports REALIZED container bits: native fp6 rides an
+    # int8 container (8 b/elem); pf6 is the true 6-bit transport.
     p = pack_mx(jnp.ones((4, 32)), 8, "fp6_e3m2", 32)
-    assert p.bits_per_element == 6 + 8 / 32
+    assert p.bits_per_element == 8 + 8 / 32
+    p6 = pack_mx(jnp.ones((32, 4)), 8, "fp6_e3m2", 32, axis=0,
+                 transport="pf6")
+    assert p6.bits_per_element == 6 + 8 / 32
+    p4 = pack_mx(jnp.ones((32, 4)), 8, "fp4_e2m1", 32, axis=0,
+                 transport="pf4")
+    assert p4.bits_per_element == 4 + 8 / 32
 
 
 @pytest.mark.parametrize("fmt", ["fp4_e2m1", "fp6_e3m2", "fp6_e2m3",

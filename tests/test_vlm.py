@@ -341,6 +341,80 @@ def test_llava_mistral_variant():
     assert out.shape == (1, 3)
 
 
+def test_llava_mpt_variant():
+    """MPT-backed LLaVA (llava_mpt.py parity): ALiBi/LayerNorm/GELU LM
+    with tied embeddings under the same multimodal arch; the tied lm_head
+    means no separate lm_head leaf and image content moves the logits."""
+    cfg = LlavaConfig.tiny_mpt()
+    assert cfg.text.pos_emb == "alibi" and cfg.text.tie_word_embeddings
+    model = LlavaForCausalLM(cfg, use_pallas=False)
+    S = 24
+    T = cfg.num_image_tokens
+    ids = np.full((1, S), 7, np.int32)
+    ids[0, :3] = [1, 5, 9]
+    mask = np.zeros((1, S), bool)
+    mask[0, 3:3 + T] = True
+    pix = np.random.default_rng(1).normal(
+        size=(1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        pixel_values=jnp.asarray(pix),
+                        image_token_mask=jnp.asarray(mask))
+    assert "lm_head" not in params["params"]          # tied
+    logits = model.apply(params, jnp.asarray(ids),
+                         pixel_values=jnp.asarray(pix),
+                         image_token_mask=jnp.asarray(mask))
+    assert logits.shape == (1, S, cfg.text.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+    # a different image must change the answer logits
+    logits2 = model.apply(params, jnp.asarray(ids),
+                          pixel_values=jnp.asarray(pix * -1.0),
+                          image_token_mask=jnp.asarray(mask))
+    assert not np.allclose(np.asarray(logits[:, -1]),
+                           np.asarray(logits2[:, -1]))
+
+    out = generate_mm(model, params, ids, mask, pix, max_new_tokens=3)
+    assert out.shape == (1, 3)
+
+
+def test_convert_hf_llava_mpt_layout():
+    """convert_hf_llava must detect the transformer.blocks.* (MPT) layout
+    and produce a tree the MPT-backed LlavaForCausalLM accepts."""
+    import torch
+    from transformers import MptConfig as HFMptConfig
+    from transformers import MptForCausalLM as HFMpt
+
+    from microscopiq_tpu.models import state_dict_from_torch_model
+    from microscopiq_tpu.vlm.llava import convert_hf_llava
+
+    cfg = LlavaConfig.tiny_mpt()
+    tc = cfg.text
+    hf_cfg = HFMptConfig(d_model=tc.hidden_size, n_heads=4, n_layers=2,
+                         vocab_size=tc.vocab_size,
+                         max_seq_len=tc.max_position_embeddings,
+                         attn_implementation="eager")
+    torch.manual_seed(0)
+    hf = HFMpt(hf_cfg).eval()
+    sd = state_dict_from_torch_model(hf)
+
+    # graft tiny vision/projector weights under the MPT base module name
+    model = LlavaForCausalLM(cfg, use_pallas=False)
+    seed = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    vt = seed["params"]["vision_tower"]
+    # flatten our CLIP tree back to HF names via the inverse mapping used
+    # by the converter is overkill here; instead verify LM-side grafting
+    # only: drop vision keys and convert, then splice seed vision params.
+    params = convert_hf_llava(
+        {k: v for k, v in sd.items()}, cfg,
+        vision_params=vt, projector_params=seed["params"]["mm_projector"])
+    ids = np.random.default_rng(3).integers(0, tc.vocab_size, (1, 6))
+    with torch.no_grad():
+        want = hf(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(model.apply({"params": params["params"]},
+                                 jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
 def test_pope_evaluator(tmp_path):
     """POPE scorer reproduces the reference's normalization and metric
     math (eval_pope.py:5-80), end to end through the file CLI."""
