@@ -11,11 +11,14 @@ from .conversation import (Conversation, SeparatorStyle,
                            conv_templates, default_conversation)
 from .driver import llava_sequential
 from .eval_vqa import eval_vqa, generate_mm, merge_answer_chunks
+from .gpt_review import (build_review_content, parse_score,
+                         review_answers, summarize_reviews)
 from .llava import (IMAGE_TOKEN_INDEX, LlavaConfig, LlavaForCausalLM,
                     convert_hf_llava, pack_llava_lm,
                     splice_image_features)
 from .mm_utils import (expand_image_tokens, get_chunk, process_images,
                        split_list, tokenizer_image_token)
+from .mmbench import eval_mmbench, load_mmbench_table, score_mmbench
 from .projector import VisionProjector
 
 __all__ = [
@@ -27,4 +30,7 @@ __all__ = [
     "pack_llava_lm", "splice_image_features", "expand_image_tokens",
     "get_chunk", "process_images", "split_list",
     "tokenizer_image_token", "VisionProjector",
+    "build_review_content", "parse_score", "review_answers",
+    "summarize_reviews", "eval_mmbench", "load_mmbench_table",
+    "score_mmbench",
 ]

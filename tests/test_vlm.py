@@ -483,3 +483,161 @@ def test_scienceqa_evaluator(tmp_path):
     assert sqa["img_acc"] == 100.0          # the only mm sample is right
     assert sqa["results"]["p2"] == 2 and sqa["results"]["p3"] == -1
     assert {r["question_id"] for r in results["incorrect"]} == {"p2", "p3"}
+
+
+def _b64_png(rng, size=8):
+    import base64
+    import io
+
+    from PIL import Image
+
+    arr = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode(), arr
+
+
+def test_mmbench_harness(tmp_path):
+    """MMBench loop: TSV + base64 images, hint prepend, option rotation
+    across rounds, direct-answer suffix, the reference answers-jsonl
+    schema (model_vqa_mmbench.py:80-137), and rotation-aware scoring."""
+    import csv
+    import json
+
+    from microscopiq_tpu.vlm.mmbench import (build_question, eval_mmbench,
+                                             is_none, iter_rounds,
+                                             load_mmbench_table,
+                                             score_mmbench)
+
+    assert is_none(float("nan")) and is_none("NaN") and is_none("none")
+    assert not is_none("B")
+
+    rng = np.random.default_rng(0)
+    b64, arr = _b64_png(rng)
+    rows = [
+        {"index": "1", "question": "What color?", "hint": "Look closely.",
+         "image": b64, "A": "red", "B": "blue", "C": "green", "D": "",
+         "answer": "B", "category": "color"},
+        {"index": "2", "question": "How many?", "hint": "nan",
+         "image": b64, "A": "one", "B": "two", "C": "", "D": "",
+         "answer": "A", "category": "count"},
+    ]
+    tsv = tmp_path / "q.tsv"
+    with open(tsv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]), delimiter="\t")
+        w.writeheader()
+        w.writerows(rows)
+    questions = load_mmbench_table(str(tsv))
+
+    # hint prepended; empty option D dropped; suffix appended
+    q = build_question(questions[0], ["red", "blue", "green"],
+                       ["A", "B", "C"])
+    assert q.startswith("Look closely.\nWhat color?")
+    assert "\nB. blue" in q and "D." not in q
+    assert q.endswith("directly.")
+    # nan hint not prepended
+    q2 = build_question(questions[1], ["one", "two"], ["A", "B"])
+    assert q2.startswith("How many?")
+
+    # rotation: round 1 shifts options AND letters circularly
+    rounds = list(iter_rounds(questions[0], all_rounds=True))
+    assert len(rounds) == 3
+    assert rounds[0][1:] == (["red", "blue", "green"], ["A", "B", "C"])
+    assert rounds[1][1:] == (["blue", "green", "red"], ["B", "C", "A"])
+
+    seen_images = []
+
+    def fake_answer(prompt, image):
+        seen_images.append(image)
+        return "B."          # always answers letter B
+
+    ans_file = tmp_path / "answers.jsonl"
+    recs = eval_mmbench(questions, fake_answer, str(ans_file),
+                        all_rounds=True)
+    assert len(recs) == 3 + 2
+    with open(ans_file) as f:
+        loaded = [json.loads(l) for l in f]
+    assert loaded[0].keys() >= {"question_id", "round_id", "prompt",
+                                "text", "options", "option_char",
+                                "answer_id", "model_id", "metadata"}
+    np.testing.assert_array_equal(seen_images[0], arr)
+
+    # scoring honors rotation: "B" in round 0 = blue (right for q1),
+    # in round 1 letters are [B,C,A] so "B" = blue again (first slot).
+    s = score_mmbench(recs, questions)
+    q1_right = sum(r["question_id"] == "1" and
+                   r["options"][r["option_char"].index("B")] == "blue"
+                   for r in recs)
+    assert s["correct"] == q1_right      # q2's answer "one" never picked
+    assert s["total"] == 5
+
+
+def test_gpt_review_pipeline(tmp_path):
+    """LLM-judge review: reference content assembly (plain + [Context]
+    visual variant), score parsing, jsonl schema, and the summarizer's
+    relative-score math (eval_gpt_review.py, summarize_gpt_review.py)."""
+    import json
+
+    from microscopiq_tpu.vlm.gpt_review import (build_review_content,
+                                                parse_score, pick_rule,
+                                                review_files,
+                                                summarize_reviews)
+
+    assert parse_score("8 6\nGood detail.") == [8.0, 6.0]
+    assert parse_score("7, 9\nok") == [7.0, 9.0]
+    assert parse_score("no scores here at all") == [-1, -1]
+
+    rule = {"role": "Assistant", "prompt": "Rate both answers."}
+    c = build_review_content({"text": "Q?"}, {"text": "A1"},
+                             {"text": "A2"}, rule)
+    assert c == ("[Question]\nQ?\n\n"
+                 "[Assistant 1]\nA1\n\n[End of Assistant 1]\n\n"
+                 "[Assistant 2]\nA2\n\n[End of Assistant 2]\n\n"
+                 "[System]\nRate both answers.\n\n")
+    ctx = {"captions": ["a cat"], "instances":
+           [{"category": "cat", "bbox": [1, 2, 3, 4]}]}
+    cv = build_review_content({"text": "Q?"}, {"text": "A1"},
+                              {"text": "A2"}, rule, ctx)
+    assert cv.startswith("[Context]\na cat\n\ncat: [1, 2, 3, 4]\n\n"
+                         "[Question]")
+
+    rules = {"default": rule, "detail": {"role": "R", "prompt": "p"}}
+    assert pick_rule(rules, "detail")["role"] == "R"
+    assert pick_rule(rules, "missing")["role"] == "Assistant"
+    with pytest.raises(KeyError):
+        pick_rule(rules, "missing", strict=True)
+
+    # file-mode end to end with a deterministic fake judge
+    def write_jsonl(path, recs):
+        with open(path, "w") as f:
+            for r in recs:
+                f.write(json.dumps(r) + "\n")
+
+    write_jsonl(tmp_path / "q.jsonl",
+                [{"question_id": i, "text": f"q{i}", "category": "conv"}
+                 for i in range(4)])
+    write_jsonl(tmp_path / "a1.jsonl",
+                [{"question_id": i, "answer_id": f"x{i}", "text": "one"}
+                 for i in range(4)])
+    write_jsonl(tmp_path / "a2.jsonl",
+                [{"question_id": i, "answer_id": f"y{i}", "text": "two"}
+                 for i in range(4)])
+    with open(tmp_path / "rule.json", "w") as f:
+        json.dump({"conv": rule, "default": rule}, f)
+
+    reviews = review_files(str(tmp_path / "q.jsonl"),
+                           [str(tmp_path / "a1.jsonl"),
+                            str(tmp_path / "a2.jsonl")],
+                           str(tmp_path / "rule.json"),
+                           str(tmp_path / "out.jsonl"),
+                           judge_fn=lambda content, mt: "8 6\nok")
+    assert len(reviews) == 4
+    assert reviews[0]["tuple"] == [8.0, 6.0]
+    assert reviews[0]["answer1_id"] == "x0"
+    with open(tmp_path / "out.jsonl") as f:
+        assert len(f.readlines()) == 4
+
+    table = summarize_reviews(reviews)
+    # rel = 6/8*100 = 75.0, scores x10 = 80.0 / 60.0
+    assert table["all"] == [75.0, 80.0, 60.0]
+    assert table["conv"] == [75.0, 80.0, 60.0]
