@@ -212,8 +212,58 @@ def gen_gear():
     print(f"gear: {len(cases)} cases")
 
 
+def gen_conv():
+    """Conv2d forward + per-axis re-quantized backward fixtures
+    (convolution.py:120-326): grads of sum(out) wrt input/weight/bias,
+    with quantize_backprop on and off."""
+    from mx.convolution import conv2d as ref_conv2d
+    from mx.specs import apply_mx_specs
+    from mx.transpose_convolution import ConvTranspose2dFunction
+
+    def ref_convt2d(x, w, b, stride=1, padding=1, mx_specs=None):
+        return ConvTranspose2dFunction.apply(x, w, b, stride, padding,
+                                             0, 1, 1, mx_specs)
+
+    torch.manual_seed(3)
+    cases = {}
+    x0 = torch.randn(2, 8, 9, 9, dtype=torch.float32)
+    w0 = torch.randn(6, 4, 3, 3, dtype=torch.float32) * 0.3
+    b0 = torch.randn(6, dtype=torch.float32) * 0.1
+    wt0 = torch.randn(8, 6, 3, 3, dtype=torch.float32) * 0.3  # (I,O,kh,kw)
+    cases["x"] = x0.numpy()
+    cases["w"] = w0.numpy()
+    cases["b"] = b0.numpy()
+    cases["wt"] = wt0.numpy()
+
+    for qbp in (True, False):
+        specs = apply_mx_specs({
+            "a_elem_format": "fp6_e3m2", "w_elem_format": "fp6_e3m2",
+            "block_size": 4, "bfloat": 16, "quantize_backprop": qbp,
+            "custom_cuda": False})
+        for name, fn, w, kw in [
+                ("conv", ref_conv2d, w0, dict(stride=2, padding=1,
+                                              groups=2)),
+                ("convt", ref_convt2d, wt0, dict(stride=2, padding=1)),
+        ]:
+            x = x0.clone().requires_grad_(True)
+            ww = w.clone().requires_grad_(True)
+            bb = b0.clone().requires_grad_(True)
+            out = fn(x, ww, bb, mx_specs=specs, **kw)
+            out.sum().backward()
+            key = f"{name}|qbp{int(qbp)}"
+            cases[key + "|out"] = out.detach().numpy()
+            cases[key + "|gx"] = x.grad.numpy()
+            cases[key + "|gw"] = ww.grad.numpy()
+            cases[key + "|gb"] = bb.grad.numpy()
+
+    np.savez_compressed(os.path.join(OUT, "conv.npz"), **cases)
+    print(f"conv: {len(cases)} arrays")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "gear":
         gen_gear()
+    elif len(sys.argv) > 1 and sys.argv[1] == "conv":
+        gen_conv()
     else:
         main()

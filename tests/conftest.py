@@ -53,3 +53,8 @@ def golden_gptq():
 @pytest.fixture(scope="session")
 def golden_gear():
     return np.load(GOLDEN / "gear.npz")
+
+
+@pytest.fixture(scope="session")
+def golden_conv():
+    return np.load(GOLDEN / "conv.npz")

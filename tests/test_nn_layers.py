@@ -198,3 +198,65 @@ def test_mx_op_table():
     assert set(table) >= {"linear", "matmul", "softmax", "gelu", "add"}
     y = table["add"](_x(4), _x(4))
     assert y.shape == (4,)
+
+
+@pytest.mark.parametrize("qbp", [True, False])
+def test_conv_backward_golden(golden_conv, qbp):
+    """Conv2d forward AND the per-axis re-quantized backward must match
+    the reference autograd.Function (convolution.py:120-326) on the same
+    inputs — grads of sum(out) wrt input/weight/bias, with
+    quantize_backprop on and off."""
+    specs = finalize_mx_specs({
+        "a_elem_format": "fp6_e3m2", "w_elem_format": "fp6_e3m2",
+        "block_size": 4, "bfloat": 16, "quantize_backprop": qbp,
+    })
+    x = jnp.asarray(golden_conv["x"])
+    w = jnp.asarray(golden_conv["w"])
+    b = jnp.asarray(golden_conv["b"])
+    key = f"conv|qbp{int(qbp)}"
+
+    def f(x, w, b):
+        return mnn.conv2d(x, w, b, stride=2, padding=1, groups=2,
+                          mx_specs=specs).sum()
+
+    out = mnn.conv2d(x, w, b, stride=2, padding=1, groups=2,
+                     mx_specs=specs)
+    np.testing.assert_allclose(np.asarray(out), golden_conv[key + "|out"],
+                               rtol=1e-5, atol=1e-6)
+    gx, gw, gb = jax.grad(f, argnums=(0, 1, 2))(x, w, b)
+    np.testing.assert_allclose(np.asarray(gx), golden_conv[key + "|gx"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), golden_conv[key + "|gw"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), golden_conv[key + "|gb"],
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("qbp", [True, False])
+def test_conv_transpose_backward_golden(golden_conv, qbp):
+    """ConvTranspose2d forward/backward vs the reference
+    (transpose_convolution.py:18-207)."""
+    specs = finalize_mx_specs({
+        "a_elem_format": "fp6_e3m2", "w_elem_format": "fp6_e3m2",
+        "block_size": 4, "bfloat": 16, "quantize_backprop": qbp,
+    })
+    x = jnp.asarray(golden_conv["x"])
+    wt = jnp.asarray(golden_conv["wt"])
+    b = jnp.asarray(golden_conv["b"])
+    key = f"convt|qbp{int(qbp)}"
+
+    def f(x, w, b):
+        return mnn.conv_transpose2d(x, w, b, stride=2, padding=1,
+                                    mx_specs=specs).sum()
+
+    out = mnn.conv_transpose2d(x, wt, b, stride=2, padding=1,
+                               mx_specs=specs)
+    np.testing.assert_allclose(np.asarray(out), golden_conv[key + "|out"],
+                               rtol=1e-5, atol=1e-6)
+    gx, gw, gb = jax.grad(f, argnums=(0, 1, 2))(x, wt, b)
+    np.testing.assert_allclose(np.asarray(gx), golden_conv[key + "|gx"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), golden_conv[key + "|gw"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), golden_conv[key + "|gb"],
+                               rtol=1e-4, atol=1e-5)
