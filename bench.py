@@ -40,13 +40,17 @@ def build_params(cfg, key, packed_specs=None):
     def kernel(key, shape):
         w = dense(key, shape)
         if packed_specs is not None:
+            from microscopiq_tpu.ops.packing import to_serving_layout
             fmt = packed_specs["w_elem_format"]
             transport = ("emi8" if fmt in ("fp4", "fp4_e2m1", "fp6_e3m2",
                                            "fp6_e2m3") else "native")
-            p = pack_mx(w.astype(jnp.float32),
-                        packed_specs["scale_bits"] or 8, fmt,
-                        packed_specs["block_size"], axis=0,
-                        transport=transport)
+            # pre-blocked serving layout: the SAD kernel consumes it
+            # without the per-call full-tensor reshape copy
+            p = to_serving_layout(pack_mx(
+                w.astype(jnp.float32),
+                packed_specs["scale_bits"] or 8, fmt,
+                packed_specs["block_size"], axis=0,
+                transport=transport))
             del w
             return p
         return w

@@ -30,20 +30,24 @@ struct Format {
   int ebits, mbits, emax;
   float max_norm;
   bool is_int;
+  // container byte layout: e4m3 for every sub-byte fp format (each such
+  // value is exactly representable there), e5m2 for fp8_e5m2 itself —
+  // mirrors packing.py container_dtype
+  int c_ebits, c_fbits;
 };
 
 // mirrors formats.py:_FORMAT_TABLE
 Format format_params(int fmt_id) {
   switch (fmt_id) {
-    case 0: return {0, 8, 0, 127.f / 64.f, true};    // int8
-    case 1: return {0, 4, 0, 7.f / 4.f, true};       // int4
-    case 2: return {0, 2, 0, 1.f, true};             // int2
-    case 3: return {4, 5, 8, 448.f, false};          // fp8_e4m3
-    case 4: return {5, 4, 15, 57344.f, false};       // fp8_e5m2
-    case 5: return {3, 4, 4, 28.f, false};           // fp6_e3m2
-    case 6: return {2, 5, 2, 7.5f, false};           // fp6_e2m3
-    case 7: return {2, 3, 2, 6.f, false};            // fp4_e2m1
-    default: return {0, 8, 0, 127.f / 64.f, true};
+    case 0: return {0, 8, 0, 127.f / 64.f, true, 0, 0};    // int8
+    case 1: return {0, 4, 0, 7.f / 4.f, true, 0, 0};       // int4
+    case 2: return {0, 2, 0, 1.f, true, 0, 0};             // int2
+    case 3: return {4, 5, 8, 448.f, false, 4, 3};          // fp8_e4m3
+    case 4: return {5, 4, 15, 57344.f, false, 5, 2};       // fp8_e5m2
+    case 5: return {3, 4, 4, 28.f, false, 4, 3};           // fp6_e3m2
+    case 6: return {2, 5, 2, 7.5f, false, 4, 3};           // fp6_e2m3
+    case 7: return {2, 3, 2, 6.f, false, 4, 3};            // fp4_e2m1
+    default: return {0, 8, 0, 127.f / 64.f, true, 0, 0};
   }
 }
 
@@ -95,26 +99,29 @@ inline float quantize_elem(float x, const Format& f) {
   return out;
 }
 
-inline uint8_t encode_e4m3(float v) {
-  // exact e4m3fn byte for values on sub-byte fp grids (packing.py
-  // container trick). bias 7, fbits 3.
+inline uint8_t encode_fp8(float v, int ebits, int fbits) {
+  // exact fp8 byte for values already on the format's grid (packing.py
+  // container trick); ebits/fbits select e4m3fn (4,3) or e5m2 (5,2)
+  int bias = (1 << (ebits - 1)) - 1;
+  int min_e = 1 - bias;
   if (v == 0.f) return std::signbit(v) ? 0x80 : 0x00;
   uint8_t sign = v < 0.f ? 0x80 : 0x00;
   float a = std::fabs(v);
   int e = floor_log2(a);
-  if (e < -6) e = -6;  // subnormal domain
+  if (e < min_e) e = min_e;
+  float fscale = (float)(1 << fbits);
   float frac;
   uint8_t e_field;
-  if (a < exp2i(-6)) {          // subnormal: m/8 * 2^-6
+  if (a < exp2i(min_e)) {       // subnormal: m/2^fbits * 2^min_e
     e_field = 0;
-    frac = a * exp2i(6) * 8.f;  // a / 2^-6 * 2^3
+    frac = a * exp2i(-min_e) * fscale;
   } else {
-    e_field = (uint8_t)(e + 7);
-    frac = (a * exp2i(-e) - 1.f) * 8.f;
+    e_field = (uint8_t)(e + bias);
+    frac = (a * exp2i(-e) - 1.f) * fscale;
   }
   uint8_t m_field = (uint8_t)(frac + 0.5f);
-  if (m_field == 8) { m_field = 0; e_field += 1; }  // mantissa overflow
-  return sign | (e_field << 3) | m_field;
+  if (m_field == (1 << fbits)) { m_field = 0; e_field += 1; }
+  return sign | (e_field << fbits) | m_field;
 }
 
 void pack_rows(const float* in, int64_t r0, int64_t r1, int64_t cols,
@@ -143,7 +150,7 @@ void pack_rows(const float* in, int64_t r0, int64_t r1, int64_t cols,
           int code = (int)std::lrintf(q * (float)(1 << (f.mbits - 2)));
           out[i] = (uint8_t)(int8_t)code;
         } else {
-          out[i] = encode_e4m3(q);
+          out[i] = encode_fp8(q, f.c_ebits, f.c_fbits);
         }
       }
     }
@@ -164,13 +171,15 @@ void dequant_rows(const uint8_t* codes, const int8_t* scales, int64_t r0,
         if (f.is_int) {
           v = (float)(int8_t)c[i] / (float)(1 << (f.mbits - 2));
         } else {
-          // decode e4m3 byte
+          // decode fp8 container byte (e4m3 or e5m2 layout)
           uint8_t byte = c[i];
+          int bias = (1 << (f.c_ebits - 1)) - 1;
+          float fscale = (float)(1 << f.c_fbits);
           int s = byte >> 7;
-          int e = (byte >> 3) & 0xF;
-          int m = byte & 0x7;
-          float mag = e > 0 ? (1.f + m / 8.f) * exp2i(e - 7)
-                            : (m / 8.f) * exp2i(-6);
+          int e = (byte >> f.c_fbits) & ((1 << f.c_ebits) - 1);
+          int m = byte & ((1 << f.c_fbits) - 1);
+          float mag = e > 0 ? (1.f + m / fscale) * exp2i(e - bias)
+                            : (m / fscale) * exp2i(1 - bias);
           v = s ? -mag : mag;
         }
         o[i] = v * sc;

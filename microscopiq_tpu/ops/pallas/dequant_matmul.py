@@ -150,22 +150,22 @@ def _sad_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # codes arrive as the plain 2D (TK[/per], TN) weight tile; the
-    # per-block view is a sublane regroup (free in Mosaic's (8,128)
-    # tiling since block_size % 8 == 0). Doing the split here rather
-    # than reshaping the whole codes array on the host avoids an XLA
-    # retiling copy of the full weight matrix on every call (~80 µs per
-    # large matmul).
-    c2 = c_ref[:]
-    tk, tn = c2.shape
+    # codes arrive PRE-BLOCKED (nbt, rows, TN) — the exact serving
+    # layout to_serving_layout stores. Consuming that 3D form directly
+    # matters a lot: flattening it to 2D on the host (the old
+    # from_serving_layout path) made XLA materialize a retiling copy of
+    # the ENTIRE codes array on every call — ~200 µs for a 117 MB
+    # weight, half the kernel's own runtime (measured on v5e; ablation
+    # showed the kernel body itself streams at ~294 GB/s).
+    p3 = c_ref[:]
+    _, _, tn = p3.shape
     if decode in ("sb4", "sb2"):
         # sub-byte: `per` codes per byte, blockwise-interleaved
         # (packing._subbyte_pack); reassemble with shift-extracts and
         # one sublane concat — no lane ops.
         per = 2 if decode == "sb4" else 4
         bits = 8 // per
-        rows = block_size // per
-        p32 = c2.reshape(tk // rows, rows, tn).astype(jnp.int32)
+        p32 = p3.astype(jnp.int32)
         fields = []
         for i in range(per):
             f = lax.shift_left(p32 >> (bits * i), 32 - bits)
@@ -177,8 +177,7 @@ def _sad_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
         # mantissa bits, fold = emi8_fold(fmt)
         B_ = block_size
         if decode == "pf6":
-            rows = 3 * B_ // 4
-            p3 = c2.reshape(tk // rows, rows, tn).astype(jnp.int32)
+            p3 = p3.astype(jnp.int32)
             lo_p, hi_p = p3[:, :B_ // 2], p3[:, B_ // 2:]
             lo = jnp.concatenate(
                 [(lo_p >> (4 * i)) & 0xF for i in range(2)], axis=1)
@@ -188,8 +187,7 @@ def _sad_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
                 hi_f.append(lax.shift_right_arithmetic(f, 30))
             c = lax.shift_left(jnp.concatenate(hi_f, axis=1), 4) | lo
         else:
-            rows = B_ // 2
-            p3 = c2.reshape(tk // rows, rows, tn).astype(jnp.int32)
+            p3 = p3.astype(jnp.int32)
             fields = []
             for i in range(2):
                 f = lax.shift_left(p3 >> (4 * i), 28)
@@ -202,16 +200,15 @@ def _sad_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
         smask = lax.shift_right_arithmetic(c, 31)
         w = ((mag ^ smask) - smask).astype(jnp.bfloat16)
     else:
-        c3 = c2.reshape(tk // block_size, block_size, tn)
         if decode == "emi8":
             # mask to the raw byte: emi8m exponents may set the top bit,
             # which an int8 sign-extension would smear over e'
-            c = c3.astype(jnp.int32) & 0xFF
+            c = p3.astype(jnp.int32) & 0xFF
             mhat = lax.shift_right_arithmetic(lax.shift_left(c, 32 - mw),
                                               32 - mw)
             w = lax.shift_left(mhat, c >> mw).astype(jnp.bfloat16)
         else:  # int8 / bf16 / fp16 containers: native convert
-            w = c3.astype(jnp.bfloat16)
+            w = p3.astype(jnp.bfloat16)
     part = lax.dot_general(
         x_ref[:], w, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)          # (nbt, TM, TN)
@@ -388,9 +385,12 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
     ebits = (get_format_params(w.elem_format)[0]
              if decode in ("pf4", "pf6") else 0)
     lead = x.shape[:-1]
-    ww = pk.from_serving_layout(w)
-    Krows, N = ww.codes.shape
-    Kp = Krows * B // rows
+    # consume the PRE-BLOCKED serving layout (NB, rows, N) directly —
+    # see the kernel note: flattening to 2D here copied the whole codes
+    # array every call
+    ww = pk.to_serving_layout(w)
+    NB, _, N = ww.codes.shape
+    Kp = NB * B
     x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
     M = x2.shape[0]
 
@@ -407,9 +407,8 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
 
     x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp2 - x2.shape[-1])))
     xb = x2.reshape(Mp, NBp, B).transpose(1, 0, 2)   # (NBp, Mp, B), tiny
-    codes = jnp.pad(ww.codes,
-                    ((0, (Kp2 - Kp) * rows // B), (0, Np - N)))
-    se = jnp.pad(ww.scale_exp, ((0, (Kp2 - Kp) // B), (0, Np - N)))
+    codes = jnp.pad(ww.codes, ((0, NBp - NB), (0, 0), (0, Np - N)))
+    se = jnp.pad(ww.scale_exp, ((0, NBp - NB), (0, Np - N)))
 
     nk = Kp2 // TK
     grid = (Mp // TM, Np // TN, nk)
@@ -422,9 +421,9 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
         in_specs=[
             pl.BlockSpec((nbt, TM, B), lambda i, j, k: (k, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK * rows // B, TN), lambda i, j, k: (k, j),
+            pl.BlockSpec((nbt, rows, TN), lambda i, j, k: (k, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TK // B, TN), lambda i, j, k: (k, j),
+            pl.BlockSpec((nbt, TN), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),

@@ -147,8 +147,10 @@ def _packed_sharding(leaf, kernel_spec: P, mesh: Mesh):
         # replace() keeps ALL static fields (incl. transport_mw/fold for
         # emi8m) so the sharding tree's treedef matches the param tree's
         if leaf.codes.ndim == 3:     # serving layout (nb, rows, N)
-            return _dc.replace(leaf, codes=ns(k_ax, None, n_ax),
-                               scale_exp=ns(k_ax, None, n_ax))
+            return _dc.replace(
+                leaf, codes=ns(k_ax, None, n_ax),
+                scale_exp=ns(k_ax, None, n_ax)
+                if leaf.scale_exp.ndim == 3 else ns(k_ax, n_ax))
         return _dc.replace(leaf, codes=ns(k_ax, n_ax),
                            scale_exp=ns(k_ax, n_ax))
     return PackedMXOutlier(
