@@ -17,8 +17,10 @@ minutes, so dense and packed are measured interleaved and min-of-k is
 reported for each).
 """
 
+import functools
 import gc
 import json
+import os
 import time
 
 import numpy as np
@@ -38,25 +40,47 @@ def build_params(cfg, key, packed_specs=None):
         return (jax.random.normal(key, shape, jnp.bfloat16) * 0.02)
 
     def kernel(key, shape):
+        import dataclasses as dc
+
         w = dense(key, shape)
         if packed_specs is not None:
             from microscopiq_tpu.ops.packing import to_serving_layout
             fmt = packed_specs["w_elem_format"]
             transport = ("emi8" if fmt in ("fp4", "fp4_e2m1", "fp6_e3m2",
                                            "fp6_e2m3") else "native")
-            # pre-blocked serving layout: the SAD kernel consumes it
-            # without the per-call full-tensor reshape copy
-            p = to_serving_layout(pack_mx(
-                w.astype(jnp.float32),
-                packed_specs["scale_bits"] or 8, fmt,
-                packed_specs["block_size"], axis=0,
-                transport=transport))
+
+            def one(wc):
+                # pre-blocked serving layout: the SAD kernel consumes it
+                # without the per-call full-tensor reshape copy
+                return to_serving_layout(pack_mx(
+                    wc.astype(jnp.float32),
+                    packed_specs["scale_bits"] or 8, fmt,
+                    packed_specs["block_size"], axis=0,
+                    transport=transport))
+
+            # chunk giant matrices (lm_head: 2.1 GB f32) along N — the
+            # on-device quantizer's f32 temporaries would otherwise OOM
+            K, N = shape
+            if K * N > 256 * 1024 * 1024 and N % 8 == 0:
+                parts = [one(w[:, i * (N // 8):(i + 1) * (N // 8)])
+                         for i in range(8)]
+                p = dc.replace(
+                    parts[0],
+                    codes=jnp.concatenate([q.codes for q in parts],
+                                          axis=-1),
+                    scale_exp=jnp.concatenate(
+                        [q.scale_exp for q in parts], axis=-1))
+            else:
+                p = one(w)
             del w
             return p
         return w
 
     keys = iter(jax.random.split(key, 16 + 16 * cfg.num_hidden_layers))
     model = {"embed_tokens": dense(next(keys), (cfg.vocab_size, D))}
+    # lm_head is 12.5% of Llama-3-8B's weights (525M params); serving
+    # packs it too — profiled at 1.46 ms/step of dense bf16 reads
+    lm_head = kernel(next(keys), (D, cfg.vocab_size))
     for i in range(cfg.num_hidden_layers):
         model[f"layers_{i}"] = {
             "self_attn": {
@@ -74,9 +98,7 @@ def build_params(cfg, key, packed_specs=None):
             "post_attention_layernorm": {"scale": jnp.ones(D, jnp.bfloat16)},
         }
     model["norm"] = {"scale": jnp.ones(D, jnp.bfloat16)}
-    return {"params": {"model": model,
-                       "lm_head": {"kernel": dense(next(keys),
-                                                   (D, cfg.vocab_size))}}}
+    return {"params": {"model": model, "lm_head": {"kernel": lm_head}}}
 
 
 def make_decoder(model, cfg, B, S0, steps, max_len):
@@ -89,7 +111,11 @@ def make_decoder(model, cfg, B, S0, steps, max_len):
     state0 = init_dense_cache(cfg.num_hidden_layers, B, max_len,
                               cfg.num_key_value_heads, cfg.head_dim)
 
-    @jax.jit
+    # both jits DONATE the cache state and RETURN it, so XLA aliases
+    # the buffers in place — without the returned alias the donation is
+    # dropped ("donated buffers were not usable") and the 32L model +
+    # two 2.2 GB cache copies OOM the chip
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def prefill(params, ids, state):
         cache = DenseDecodeCache(state)
         pos = jnp.broadcast_to(jnp.arange(S0)[None, :], (B, S0))
@@ -97,7 +123,7 @@ def make_decoder(model, cfg, B, S0, steps, max_len):
         return (jnp.argmax(logits[:, -1], -1).astype(jnp.int32),
                 cache.finalize())
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def decode(params, tok0, state):
         def step(carry, _):
             tok, st = carry
@@ -107,10 +133,14 @@ def make_decoder(model, cfg, B, S0, steps, max_len):
                                  cache=cache)
             nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
             return (nxt, cache.finalize()), nxt
-        (_, _), toks = lax.scan(step, (tok0, state), None, length=steps)
-        return toks
+        (_, st), toks = lax.scan(step, (tok0, state), None, length=steps)
+        return toks, st
 
-    return prefill, decode, state0
+    def make_state():
+        return init_dense_cache(cfg.num_hidden_layers, B, max_len,
+                                cfg.num_key_value_heads, cfg.head_dim)
+
+    return prefill, decode, state0, make_state
 
 
 def _tree_bytes(tree):
@@ -138,7 +168,9 @@ def main():
     # packed transport is what makes single-chip 8B serving possible —
     # so the full-depth dense baseline is the interleaved per-layer
     # measurement extrapolated to 32L.
-    ratio_layers = 12 if on_tpu else 2
+    # 10L: dense + packed model (both with their lm_heads) plus two KV
+    # states must fit 16 GB together for the interleaved ratio
+    ratio_layers = 8 if on_tpu else 2
     full_layers = 32 if on_tpu else 2
     B, S0, STEPS = 8, 128, 32
     max_len = S0 + STEPS + 8
@@ -158,46 +190,86 @@ def main():
         params = {"params": fuse_projections(params["params"])}
         ids = jnp.asarray(np.random.default_rng(0).integers(
             0, cfg.vocab_size, (B, S0)))
-        prefill, decode, state0 = make_decoder(model, cfg, B, S0, STEPS,
-                                               max_len)
+        prefill, decode, state0, make_state = make_decoder(
+            model, cfg, B, S0, STEPS, max_len)
         tok0, st = prefill(params, ids, state0)
-        toks = decode(params, tok0, st)
-        _ = np.asarray(toks)[:1]          # compile + warm
-        return decode, params, tok0, st
+        del state0
+        toks, st = decode(params, tok0, st)   # consumes st (donated)
+        _ = np.asarray(toks)[:1]              # compile + warm
+        del st
 
-    runs = {tag: build(ratio_layers, pk)
-            for tag, pk in (("dense", None), ("packed", specs))}
-    best = {tag: 9e9 for tag in runs}
-    for _ in range(6):                    # interleave to cancel drift
-        for tag, (decode, params, tok0, st) in runs.items():
+        def timed_decode():
+            st = prefill(params, ids, make_state())[1]
+            jax.block_until_ready(st)   # prefill is async — without the
+            # barrier its device tail runs inside the timed window
             t0 = time.perf_counter()
-            toks = decode(params, tok0, st)
+            toks, st2 = decode(params, tok0, st)
             _ = np.asarray(toks)[:1]
-            best[tag] = min(best[tag], time.perf_counter() - t0)
-    ratio = best["dense"] / best["packed"]
+            dt = time.perf_counter() - t0
+            del st2
+            return dt
 
-    del runs
-    gc.collect()
+        def release():
+            # python GC is not enough through the PJRT plugin: free the
+            # device buffers explicitly so the next phase gets clean HBM
+            for leaf in jax.tree_util.tree_leaves((params, ids, tok0)):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
 
-    # ---- phase 2: full-depth packed model, HBM-bandwidth accounting
-    decode, params, tok0, st = build(full_layers, specs)
-    weight_bytes = _tree_bytes(params)
-    kv_bytes = _tree_bytes(st)
-    tb = 9e9
-    for _ in range(4):
-        t0 = time.perf_counter()
-        toks = decode(params, tok0, st)
-        _ = np.asarray(toks)[:1]
-        tb = min(tb, time.perf_counter() - t0)
-    step_s = tb / STEPS
-    tps_full = B * STEPS / tb
-    # every decode step streams all weights once; KV is read+written a
-    # tiny slice but read fully by attention over the filled prefix
-    fill = (S0 + STEPS / 2) / max_len
-    hbm_bytes = weight_bytes + kv_bytes * fill
-    achieved = hbm_bytes / step_s
-    peak = 819e9                          # v5e HBM peak (~819 GB/s)
-    dense_ms_ext = best["dense"] / STEPS * 1e3 * full_layers / ratio_layers
+        return timed_decode, params, release
+
+    phase = os.environ.get("MICROSCOPIQ_BENCH_PHASE")
+    if phase is None:
+        # Orchestrator: each phase runs in its OWN process — the PJRT
+        # plugin does not return freed HBM promptly enough for the full
+        # 32L model and the two 12L ratio models to share one process
+        # (three OOM variants later, subprocess isolation is the fix
+        # that actually holds).
+        import subprocess
+        import sys
+
+        out = {}
+        for ph in ("full", "ratio"):
+            env = dict(os.environ, MICROSCOPIQ_BENCH_PHASE=ph)
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True)
+            if r.returncode != 0:
+                sys.stderr.write(r.stderr[-4000:])
+                raise SystemExit(f"bench phase {ph} failed")
+            out[ph] = json.loads(r.stdout.strip().splitlines()[-1])
+        f, rt = out["full"], out["ratio"]
+        step_s = f["step_s"]
+        fill = (S0 + STEPS / 2) / max_len
+        hbm_bytes = f["weight_bytes"] + f["kv_bytes"] * fill
+        achieved = hbm_bytes / step_s
+        peak = 819e9                      # v5e HBM peak (~819 GB/s)
+        dense_ms_ext = (rt["dense_s"] / STEPS * 1e3
+                        * full_layers / ratio_layers)
+        ratio = rt["dense_s"] / rt["packed_s"]
+        tps_full = f["tps"]
+        weight_bytes = f["weight_bytes"]
+        best = {"dense": rt["dense_s"], "packed": rt["packed_s"]}
+    elif phase == "full":
+        timed_decode, params, release = build(full_layers, specs)
+        weight_bytes = _tree_bytes(params)
+        kv_bytes = 2 * full_layers * B * max_len * 8 * 128 * 2
+        tb = 9e9
+        for _ in range(4):
+            tb = min(tb, timed_decode())
+        print(json.dumps({"tps": B * STEPS / tb, "step_s": tb / STEPS,
+                          "weight_bytes": weight_bytes,
+                          "kv_bytes": kv_bytes}))
+        return
+    else:
+        runs = {tag: build(ratio_layers, pk)
+                for tag, pk in (("dense", None), ("packed", specs))}
+        best = {tag: 9e9 for tag in runs}
+        for _ in range(6):                # interleave to cancel drift
+            for tag, (timed, _params, _rel) in runs.items():
+                best[tag] = min(best[tag], timed())
+        print(json.dumps({"dense_s": best["dense"],
+                          "packed_s": best["packed"]}))
+        return
 
     print(json.dumps({
         "metric": f"decode tokens/s, Llama-3-8B ({full_layers}L, full "

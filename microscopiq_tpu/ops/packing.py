@@ -74,7 +74,7 @@ def _is_int_format(fmt) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# emi8 GEMM transport: fp4/fp6 code -> one int8 byte = (e' << mw) | m̂
+# emi8 GEMM transport: fp4/fp6 code -> one int8 byte = (m̂ << (8-mw)) | e'
 # ---------------------------------------------------------------------------
 def emi8_params(fmt) -> Tuple[int, int, int]:
     """(mw, mm, emin) for the emi8 byte layout of a sub-byte fp format.
@@ -111,16 +111,20 @@ def _emi8_encode(q: jax.Array, fmt) -> jax.Array:
     mhat = jnp.round(q * exp2_exact((mm - e).astype(jnp.float32))
                      ).astype(jnp.int32)
     eprime = e - emin
-    return ((eprime << mw) | (mhat & ((1 << mw) - 1))).astype(jnp.int8)
+    # m̂ lives in the HIGH bits (sign at bit 7): the in-kernel decode is
+    # then a plain int8 sign-extension + arithmetic shift — two fewer
+    # VPU ops per element than the (e'|m̂) layout
+    return (((mhat & ((1 << mw) - 1)) << (8 - mw)) | eprime
+            ).astype(jnp.int8)
 
 
 def _emi8_decode_f32(codes: jax.Array, fmt) -> jax.Array:
     """emi8 bytes -> q · 2^(mm - emin); the caller applies the
     2^(emin - mm) fold (usually merged into the block scale)."""
     mw, mm, emin = emi8_params(fmt)
-    c = codes.astype(jnp.int32) & 0xFF
-    mhat = (c << (32 - mw)) >> (32 - mw)      # sign-extend low mw bits
-    eprime = c >> mw                          # high bits of the raw byte
+    c = codes.astype(jnp.int32)               # int8 sign-extends m̂
+    mhat = c >> (8 - mw)                      # arithmetic: signed m̂
+    eprime = c & ((1 << (8 - mw)) - 1)        # low bits of the raw byte
     return (mhat << eprime).astype(jnp.float32)
 
 
@@ -138,7 +142,7 @@ def emi8_fold(fmt) -> int:
 # (rtl/MicroScopiQ/scope.v:22-50) and scale_compute.v:55-57 merges the
 # L2/L1 scales. The TPU analog below does the merge ONCE at pack time:
 # every element (inlier or outlier) of value m̂·2^E is stored as one int8
-# byte (e' << mw) | m̂ with e' = E + fold − se relative to the block's L1
+# byte (m̂ << (8−mw)) | e' with e' = E + fold − se relative to the block's L1
 # exponent. Serving then needs NO side-band and NO in-kernel scatter — the
 # plain scale-after-dot GEMV streams one byte per element at the chip's
 # DMA rate. Encoding is exact (both levels are small-mantissa × power-of-
@@ -146,9 +150,9 @@ def emi8_fold(fmt) -> int:
 # ---------------------------------------------------------------------------
 def emi8m_decode_f32(codes: jax.Array, mw: int) -> jax.Array:
     """emi8m bytes -> value · 2^fold (caller folds 2^(se - fold))."""
-    c = codes.astype(jnp.int32) & 0xFF
-    mhat = (c << (32 - mw)) >> (32 - mw)      # sign-extend low mw bits
-    return (mhat << (c >> mw)).astype(jnp.float32)
+    c = codes.astype(jnp.int32)               # int8 sign-extends m̂
+    mhat = c >> (8 - mw)
+    return (mhat << (c & ((1 << (8 - mw)) - 1))).astype(jnp.float32)
 
 
 def _pow2_decompose(t: "np.ndarray"):
@@ -195,7 +199,7 @@ def _emi8m_fields(decomp, mw: int, fold: int):
 def _emi8m_bytes(eprime, mhat, mw: int):
     import numpy as np
 
-    byte = (eprime << mw) | (mhat & ((1 << mw) - 1))
+    byte = ((mhat & ((1 << mw) - 1)) << (8 - mw)) | eprime
     return (byte & 0xFF).astype(np.uint8).view(np.int8)
 
 
@@ -333,8 +337,8 @@ def emi8m_rebase(p: "PackedMX", mw: int, fold: int) -> "PackedMX":
         return p
     c = np.asarray(p.codes).view(np.uint8).astype(np.int64)
     omw = p.transport_mw
-    mhat = ((c & ((1 << omw) - 1)) ^ (1 << (omw - 1))) - (1 << (omw - 1))
-    eprime = (c >> omw) + (fold - p.transport_fold)
+    mhat = ((c >> (8 - omw)) ^ (1 << (omw - 1))) - (1 << (omw - 1))
+    eprime = (c & ((1 << (8 - omw)) - 1)) + (fold - p.transport_fold)
     # renormalize into the new fields
     efield_max = (1 << (8 - mw)) - 1
     j = np.maximum(0, eprime - efield_max)

@@ -201,12 +201,12 @@ def _sad_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
         w = ((mag ^ smask) - smask).astype(jnp.bfloat16)
     else:
         if decode == "emi8":
-            # mask to the raw byte: emi8m exponents may set the top bit,
-            # which an int8 sign-extension would smear over e'
-            c = p3.astype(jnp.int32) & 0xFF
-            mhat = lax.shift_right_arithmetic(lax.shift_left(c, 32 - mw),
-                                              32 - mw)
-            w = lax.shift_left(mhat, c >> mw).astype(jnp.bfloat16)
+            # m̂-high byte layout: the int8->int32 sign extension IS the
+            # mantissa sign handling, so decode is 3 integer ops
+            c = p3.astype(jnp.int32)
+            mhat = lax.shift_right_arithmetic(c, 8 - mw)
+            w = lax.shift_left(
+                mhat, c & ((1 << (8 - mw)) - 1)).astype(jnp.bfloat16)
         else:  # int8 / bf16 / fp16 containers: native convert
             w = p3.astype(jnp.bfloat16)
     part = lax.dot_general(
@@ -316,7 +316,10 @@ def dequant_matmul_sad_s8(x: jax.Array, w: PackedMX,
     M = x2.shape[0]
 
     TM = _round_up(max(M, 1), 32)            # int8 native sublane tile
-    TN = 1024 if N >= 1024 else _round_up(N, 128)
+    TN = next((t for t in (1024, 896, 768, 640, 512, 384, 256, 128)
+               if N % t == 0), None)
+    if TN is None:
+        TN = 1024 if N >= 1024 else _round_up(N, 128)
     TK = max(4 * B, 1024)
     while TK > Kp and TK > B:
         TK //= 2
@@ -395,7 +398,13 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
     M = x2.shape[0]
 
     TM = _round_up(max(M, 1), 16)        # bf16 native sublane tile
-    TN = 1024 if N >= 1024 else _round_up(N, 128)
+    # prefer a TN that DIVIDES N: a ragged edge means jnp.pad — a full
+    # copy of the codes on every call (the lm_head's N=128256 cost
+    # 1.6 ms/step of pure pad-copies before this)
+    TN = next((t for t in (1024, 896, 768, 640, 512, 384, 256, 128)
+               if N % t == 0), None)
+    if TN is None:
+        TN = 1024 if N >= 1024 else _round_up(N, 128)
     TK = max(4 * B, 1024)
     while TK > Kp and TK > B:
         TK //= 2
