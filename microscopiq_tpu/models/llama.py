@@ -203,7 +203,12 @@ class QLinear(fnn.Module):
                 ntok *= d
             fused = self.use_pallas and ntok < 256
             if isinstance(kernel, PackedMX):
-                f = dequant_matmul if fused else dequant_matmul_reference
+                # dequant_matmul dispatches internally: SAD GEMV at
+                # decode, fused in-kernel-decode matmul at prefill
+                # (the XLA twin materialized every dense weight: 66 ms
+                # for a 6L prefill), XLA fallback otherwise
+                f = (dequant_matmul if self.use_pallas
+                     else dequant_matmul_reference)
             elif isinstance(kernel, PackedOutlierNB):
                 f = (dequant_matmul_nb if fused
                      else dequant_matmul_nb_reference)

@@ -69,17 +69,35 @@ def _expand_blocks(a: jax.Array, B: int) -> jax.Array:
 # Kernels
 # ---------------------------------------------------------------------------
 def _dq_matmul_kernel(x_ref, codes_ref, se_ref, out_ref, acc_ref,
-                      *, nk: int, block_size: int, fold: int, out_dtype):
+                      *, nk: int, block_size: int, fold: int, out_dtype,
+                      decode: str = "native2d", mw: int = 0):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    codes = codes_ref[:].astype(jnp.bfloat16)            # (TK, TN)
-    se = se_ref[:].astype(jnp.int32) - fold              # (TK//B, TN)
-    scale = _exp2_i32(se).astype(jnp.bfloat16)
-    w = codes * _expand_blocks(scale, block_size)
+    if decode == "native2d":                 # legacy 2D (TK, TN) codes
+        codes = codes_ref[:].astype(jnp.bfloat16)
+        se = se_ref[:].astype(jnp.int32) - fold          # (TK//B, TN)
+        scale = _exp2_i32(se).astype(jnp.bfloat16)
+        w = codes * _expand_blocks(scale, block_size)
+    else:
+        # serving-layout (nbt, B, TN) codes; prefill is compute-bound so
+        # the per-element decode+scale rides under the MXU time. emi8
+        # products are EXACT in bf16 (<=3 mantissa bits x power of two).
+        c3 = codes_ref[:]
+        nbt, B_, tn = c3.shape
+        if decode == "emi8":
+            c = c3.astype(jnp.int32)
+            mhat = lax.shift_right_arithmetic(c, 8 - mw)
+            w3 = lax.shift_left(
+                mhat, c & ((1 << (8 - mw)) - 1)).astype(jnp.bfloat16)
+        else:                                # int containers
+            w3 = c3.astype(jnp.bfloat16)
+        se = se_ref[:].astype(jnp.int32) - fold          # (nbt, TN)
+        w3 = w3 * _exp2_i32(se)[:, None, :].astype(jnp.bfloat16)
+        w = w3.reshape(nbt * B_, tn)
     x = x_ref[:].astype(jnp.bfloat16)                    # (TM, TK)
     acc_ref[:] += lax.dot_general(
         x, w, (((1,), (0,)), ((), ())),
@@ -477,8 +495,69 @@ def dequant_matmul(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
                                          jnp.float16)):
         return dequant_matmul_sad(x, w, out_dtype=out_dtype,
                                   interpret=interpret)
+    if jax.default_backend() != "tpu" and not interpret:
+        # CPU/GPU callers (tests, eval runs with use_pallas left on):
+        # XLA twin — compiled pallas kernels are TPU-only
+        return dequant_matmul_reference(
+            x, pk.from_serving_layout(w), out_dtype=out_dtype)
+    if w.transport in ("emi8", "emi8m", "native") and \
+            w.codes.dtype == jnp.int8:
+        # prefill path: dequant-then-dot with the decode fused in-kernel
+        # (the XLA twin materializes every dense weight in HBM — 66 ms
+        # for a 6L prefill, measured)
+        decode, fold, mw = _sad_fold(w)
+        ww = pk.to_serving_layout(w)
+        NB, rows, N = ww.codes.shape
+        B = w.block_size
+        Kp = NB * B
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+        M = x2.shape[0]
+
+        # the in-kernel decode re-runs once per M-tile sweep (w depends
+        # on (j, k) but the grid re-visits it for every i): a big TM
+        # amortizes the VPU decode against more MXU work per element —
+        # at TM=128 the decode dominates 4x, at TM=512 they balance
+        TM = 512 if M >= 512 else (128 if M >= 128
+                                   else _round_up(max(M, 1), 16))
+        TK = max(8 * B, 512)
+        TN = next((t for t in (1024, 768, 512, 384, 256, 128)
+                   if N % t == 0), 128)
+        Mp, Np, Kp2 = _round_up(M, TM), _round_up(N, TN), _round_up(Kp, TK)
+        nbt = TK // B
+
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp2 - x2.shape[-1])))
+        codes = jnp.pad(ww.codes,
+                        ((0, (Kp2 - Kp) // B), (0, 0), (0, Np - N)))
+        se = jnp.pad(ww.scale_exp, ((0, (Kp2 - Kp) // B), (0, Np - N)))
+        nk = Kp2 // TK
+        grid = (Mp // TM, Np // TN, nk)
+        out = pl.pallas_call(
+            functools.partial(_dq_matmul_kernel, nk=nk, block_size=B,
+                              fold=fold, out_dtype=out_dtype,
+                              decode=decode, mw=mw),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TM, TK), lambda i, j, k: (i, k),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nbt, rows, TN), lambda i, j, k: (k, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nbt, TN), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+            scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * Mp * Np * Kp2,
+                bytes_accessed=Mp * Kp2 * 2 + Np * Kp2 + Mp * Np * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(x2, codes, se)
+        return out[:M, :N].reshape(lead + (N,))
     if w.transport != "native" or w.codes.ndim == 3:
-        # compute-bound regime: XLA dequant-then-dot fuses fine
+        # sub-byte transports: XLA dequant-then-dot fallback
         return dequant_matmul_reference(
             x, pk.from_serving_layout(w), out_dtype=out_dtype)
     assert w.axis == 0, "fused GEMM expects transposed (K, N) weights"
