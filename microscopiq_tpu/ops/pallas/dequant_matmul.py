@@ -730,9 +730,18 @@ def _nb_kernel(xt_ref, c_ref, se_ref, seo_ref, ob_ref, out_ref, acc_ref,
 
     # outlier side-band: byte = pos<<4 | fp4 bits; value contribution is
     # sign·M·2^(max(e-1,0)) · 2^(L2-L1-1)  (the 2^-1 is fp4's grid step)
+    # The select runs on flat 2D (TN, TK) shapes: a (tnb, B, TK) i1
+    # mask trips a Mosaic relayout bug at model sizes ("Non-singleton
+    # logical dimension is replicated...") and 2D lays out better anyway.
     seo = seo_ref[:].astype(jnp.int32)
     osc = _exp2_i32(seo - se - 1).astype(jnp.bfloat16)  # (TNB, TK)
-    row = lax.broadcasted_iota(jnp.int32, (tnb, B, tk), 1)
+    w2 = w.reshape(tnb * B, tk)
+    row2 = lax.broadcasted_iota(jnp.int32, (tnb * B, tk), 0) % B
+
+    def expand(a):                                      # (TNB,TK)->(TN,TK)
+        return jnp.broadcast_to(a[:, None, :], (tnb, B, tk)
+                                ).reshape(tnb * B, tk)
+
     for s in range(budget):
         b = ob_ref[s].astype(jnp.int32) & 0xFF          # (TNB, TK)
         pos = b >> 4
@@ -742,12 +751,12 @@ def _nb_kernel(xt_ref, c_ref, se_ref, seo_ref, ob_ref, out_ref, acc_ref,
         mag = lax.shift_left(m + 2 * jnp.minimum(e, 1),
                              jnp.maximum(e - 1, 0))
         val = (mag * (1 - 2 * sgn)).astype(jnp.bfloat16) * osc
-        w = w + jnp.where(row == pos[:, None, :],
-                          val[:, None, :], jnp.bfloat16(0.0))
+        w2 = w2 + jnp.where(row2 == expand(pos), expand(val),
+                            jnp.bfloat16(0.0))
 
     xt = xt_ref[:]                                      # (TM, TK) bf16
     acc_ref[:] += lax.dot_general(
-        w.reshape(tnb * B, tk), xt, (((1,), (1,)), ((), ())),
+        w2, xt, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)             # (TN, TM)
 
     @pl.when(k == nk - 1)
