@@ -32,6 +32,33 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+
+def _device_us_per_iter(fn, x0, iters, tag):
+    """On-device while-loop time per iteration via a profiler trace —
+    wall clock through the remote-TPU tunnel carries 100-400 us/iter of
+    host overhead at these sizes, so device time is the honest kernel
+    number (see STATUS.md methodology warning)."""
+    import shutil
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    from microscopiq_tpu.utils.observability import (device_kernel_stats,
+                                                     trace)
+
+    d = f"/tmp/gemv_trace_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    try:
+        with trace(d):
+            float(fn(x0))
+        stats = device_kernel_stats(d)
+        tot = stats.get("while", {}).get("total_us")
+        return round(tot / iters, 1) if tot else None
+    except Exception:
+        return None
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -113,6 +140,8 @@ def main():
                 + pnb.out_scale_exp.size)
     bytes_per = {"dense": K * N * 2, "sideband": K * N + K * N // 16 * 10,
                  "emi8m": K * N + K * N // 16, "nb": nb_bytes}
+    dev = {k: _device_us_per_iter(f, x0, ITERS, k)
+           for k, f in variants.items()}
     for k, t in best.items():
         per = t / ITERS
         print(json.dumps({
@@ -120,6 +149,12 @@ def main():
             "value": round(per * 1e6, 1), "unit": "us/iter",
             "vs_baseline": round(best["dense"] / t, 3),
             "extra": {"GBps": round(bytes_per[k] / per / 1e9, 1),
+                      "device_us": dev[k],
+                      "vs_dense_device": (round(dev["dense"] / dev[k], 3)
+                                          if dev.get(k) and dev.get("dense")
+                                          else None),
+                      "GBps_device": (round(bytes_per[k] / dev[k] / 1e3, 1)
+                                      if dev.get(k) else None),
                       "backend": jax.default_backend()},
         }))
 
