@@ -236,3 +236,27 @@ def test_sad_s8_activation_grid_error_bounded():
     yx = dequant_matmul_reference(x, p)
     rel = float(jnp.abs(y8 - yx).max() / jnp.abs(yx).max())
     assert rel < 0.02, rel
+
+
+@pytest.mark.parametrize("fmt,transport", [("fp6_e3m2", "emi8"),
+                                           ("fp4_e2m1", "emi8"),
+                                           ("int8", "native")])
+@pytest.mark.parametrize("M", [128, 513, 1024])
+def test_dq_matmul_prefill_fused_decode(fmt, transport, M):
+    """The M>64 prefill path decodes serving-layout codes in-kernel;
+    must be bit-exact vs the XLA dequant-then-dot twin (emi8 products
+    are exact in bf16) across TM tiers (128 / 512 / ragged M)."""
+    from microscopiq_tpu.ops import packing as pk
+    from microscopiq_tpu.ops.pallas.dequant_matmul import (
+        dequant_matmul, dequant_matmul_reference)
+
+    rng = np.random.default_rng(M)
+    W = (rng.standard_normal((256, 384)) * 0.5).astype(np.float32)
+    p = pk.to_serving_layout(pk.pack_mx(
+        jnp.asarray(W), 8, fmt, 32, axis=0, transport=transport))
+    x = jnp.asarray(rng.standard_normal((M, 256)).astype(np.float32))
+    got = np.asarray(dequant_matmul(x, p, interpret=True))
+    want = np.asarray(dequant_matmul_reference(
+        x, pk.from_serving_layout(p)))
+    err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert err < 2e-3, err
