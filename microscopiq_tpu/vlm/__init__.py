@@ -19,6 +19,9 @@ from .llava import (IMAGE_TOKEN_INDEX, LlavaConfig, LlavaForCausalLM,
 from .mm_utils import (expand_image_tokens, get_chunk, process_images,
                        split_list, tokenizer_image_token)
 from .mmbench import eval_mmbench, load_mmbench_table, score_mmbench
+from .textvqa import (EvalAIAnswerProcessor, STVQAAccuracyEvaluator,
+                      STVQAANLSEvaluator, TextVQAAccuracyEvaluator,
+                      eval_textvqa_files)
 from .projector import VisionProjector
 
 __all__ = [
@@ -32,5 +35,7 @@ __all__ = [
     "tokenizer_image_token", "VisionProjector",
     "build_review_content", "parse_score", "review_answers",
     "summarize_reviews", "eval_mmbench", "load_mmbench_table",
-    "score_mmbench",
+    "score_mmbench", "EvalAIAnswerProcessor",
+    "STVQAAccuracyEvaluator", "STVQAANLSEvaluator",
+    "TextVQAAccuracyEvaluator", "eval_textvqa_files",
 ]

@@ -189,3 +189,34 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def eval_qa(questions, answer_fn, answers_file: str,
+            model_id: str = "microscopiq-llm",
+            conv_mode: str = "llava_v1"):
+    """Text-only QA harness (model_qa.py:14-56): question jsonl
+    ({question_id, text, category}) -> answers jsonl. ``answer_fn``
+    maps the templated prompt to the model's reply (injectable; wire it
+    to serve.cli.stream_generate or eval.generate for a real model)."""
+    import json
+    import os
+    import uuid
+
+    from .conversation import conv_templates
+
+    os.makedirs(os.path.dirname(answers_file) or ".", exist_ok=True)
+    results = []
+    with open(answers_file, "w") as f:
+        for q in questions:
+            conv = conv_templates[conv_mode].copy()
+            conv.append_message(conv.roles[0], q["text"])
+            conv.append_message(conv.roles[1], None)
+            text = answer_fn(conv.get_prompt()).strip()
+            rec = {"question_id": q.get("question_id"),
+                   "text": text,
+                   "answer_id": uuid.uuid4().hex[:22],
+                   "model_id": model_id,
+                   "metadata": {}}
+            f.write(json.dumps(rec) + "\n")
+            results.append(rec)
+    return results
