@@ -51,3 +51,27 @@ def test_none_format_passthrough():
     a = jnp.asarray(np.random.randn(4, 8).astype(np.float32))
     out = quantize_mx(a, 8, None, axes=[1], block_size=4)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(a))
+
+
+def test_e5m0_scale_overflow_underflow():
+    """Shared-exp clamping at scale_bits=5 (reference
+    tests/test_e5m0_scale.py semantics, checked against the ACTUAL
+    reference implementation: its own test vector expects 2^-16 to
+    round up to 2^-15, but the +1e-6 scale quirk (mx_ops.py:444) makes
+    the real pipeline — theirs and ours — produce 0 there)."""
+    from microscopiq_tpu.ops import quantize_mx
+
+    x = np.array([[2.0**16] + [0] * 7,
+                  [2.0**15] + [0] * 7,
+                  [2.0**-16] + [0] * 7,
+                  [2.0**-17] + [0] * 7,
+                  [2.0**-15] + [0] * 7,
+                  [1.0] + [0] * 7], np.float32)
+    y = np.asarray(quantize_mx(jnp.asarray(x), 5, "int2", axes=[-1],
+                               block_size=8))
+    assert np.isnan(y[0, 0])              # shared-exp overflow -> NaN
+    assert y[1, 0] == 2.0**15
+    assert y[2, 0] == 0.0                 # +1e-6 quirk (matches ref impl)
+    assert y[3, 0] == 0.0                 # underflow flush
+    assert y[4, 0] == 2.0**-15
+    assert y[5, 0] == 1.0
