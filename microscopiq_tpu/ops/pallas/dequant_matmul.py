@@ -518,8 +518,9 @@ def dequant_matmul(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
         # on (j, k) but the grid re-visits it for every i): a big TM
         # amortizes the VPU decode against more MXU work per element —
         # at TM=128 the decode dominates 4x, at TM=512 they balance
-        TM = 512 if M >= 512 else (128 if M >= 128
-                                   else _round_up(max(M, 1), 16))
+        TM = (1024 if M >= 1024 else
+              512 if M >= 512 else (128 if M >= 128
+                                    else _round_up(max(M, 1), 16)))
         TK = max(8 * B, 512)
         TN = next((t for t in (1024, 768, 512, 384, 256, 128)
                    if N % t == 0), 128)
