@@ -172,7 +172,8 @@ def main():
     # states must fit 16 GB together for the interleaved ratio
     ratio_layers = 8 if on_tpu else 2
     full_layers = 32 if on_tpu else 2
-    B, S0, STEPS = 8, 128, 32
+    B = int(os.environ.get("MICROSCOPIQ_BENCH_B", "8"))
+    S0, STEPS = 128, 32
     max_len = S0 + STEPS + 8
     specs = finalize_mx_specs({"w_elem_format": "fp6_e3m2",
                                "scale_bits": 8, "block_size": 32})
