@@ -59,12 +59,34 @@ def init_distributed(coordinator_address: Optional[str] = None,
             coordinator_address, num_processes=num_processes,
             process_id=process_id, local_device_ids=local_device_ids)
         _INITIALIZED = True
-    elif os.environ.get("TPU_WORKER_HOSTNAMES") or \
-            os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
-        # TPU pod slice: runtime metadata carries the topology
-        jax.distributed.initialize()
-        _INITIALIZED = True
+    elif _pod_metadata_complete():
+        # TPU pod slice: runtime metadata carries the full topology.
+        # Auto-init can still fail on hosts with partial/stale metadata
+        # (e.g. a single-host dev box that exports TPU_WORKER_HOSTNAMES
+        # but no coordinator) — degrade to single-process rather than
+        # crash, honoring the module contract.
+        try:
+            jax.distributed.initialize()
+            _INITIALIZED = True
+        except (ValueError, RuntimeError):
+            pass
     return jax.process_index(), jax.process_count()
+
+
+def _pod_metadata_complete() -> bool:
+    """True only when the environment carries enough TPU-pod topology
+    for argless ``jax.distributed.initialize()`` to succeed: either a
+    Megascale coordinator, or worker hostnames *plus* this worker's id
+    and >1 worker. A lone ``TPU_WORKER_HOSTNAMES`` on a single-host dev
+    machine must NOT trigger auto-init (it crashes with
+    "coordinator_address should be defined")."""
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    worker_id = os.environ.get("TPU_WORKER_ID") or \
+        os.environ.get("CLOUD_TPU_TASK_ID")
+    return bool(hostnames) and worker_id is not None and \
+        len(hostnames.split(",")) > 1
 
 
 def make_hybrid_mesh(ici_model: Optional[int] = None,

@@ -58,3 +58,37 @@ def golden_gear():
 @pytest.fixture(scope="session")
 def golden_conv():
     return np.load(GOLDEN / "conv.npz")
+
+
+# ---------------------------------------------------------------------------
+# Test tiers (VERDICT r2 weak-6): the full suite is ~30 min serial, so a
+# fast tier keeps the gate runnable in CI budgets:
+#   python -m pytest tests/ -m fast -q      (~2 min; touches every layer:
+#       formats/elemwise L1, outlier L3, gptq L4, gsm8k L6, serve L7,
+#       observability/parity S5, distributed 2.11, posit 2.4)
+#   python -m pytest tests/ -q              (everything)
+# Modules dominated by compile-heavy differential tests are marked slow
+# wholesale (timings: /tmp module sweep, round 3).
+# ---------------------------------------------------------------------------
+_SLOW_MODULES = {
+    "test_engine", "test_nn_layers", "test_packing",
+    "test_pallas_kernels", "test_mx_quant", "test_models", "test_vlm",
+    "test_kv", "test_quant_attention", "test_parallel",
+    "test_generate_padding", "test_e2e_slice", "test_native",
+    "test_utils_misc", "test_gear_cache",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: compile-heavy tests "
+                            "(excluded from the fast tier)")
+    config.addinivalue_line("markers", "fast: quick gate tier")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
