@@ -175,6 +175,13 @@ def _sad_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
     # the ENTIRE codes array on every call — ~200 µs for a 117 MB
     # weight, half the kernel's own runtime (measured on v5e; ablation
     # showed the kernel body itself streams at ~294 GB/s).
+    #
+    # Decoded weights stay in FLOAT32, not bf16: the int32->bf16 convert
+    # carries a register repack (2 lanes -> 1) that cost ~11% of kernel
+    # time; int32->f32 is a 1:1-width convert. The mixed bf16 x f32 MXU
+    # dot is negligible at decode M, and every product is exact in f32
+    # either way (scripts/exp_decode_variants.py: 607 -> 674 GB/s of
+    # codes, bit-identical output, vs a 693 GB/s zero-decode floor).
     p3 = c_ref[:]
     _, _, tn = p3.shape
     if decode in ("sb4", "sb2"):
@@ -188,7 +195,7 @@ def _sad_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
         for i in range(per):
             f = lax.shift_left(p32 >> (bits * i), 32 - bits)
             fields.append(lax.shift_right_arithmetic(f, 32 - bits))
-        w = jnp.concatenate(fields, axis=1).astype(jnp.bfloat16)
+        w = jnp.concatenate(fields, axis=1).astype(jnp.float32)
     elif decode in ("pf4", "pf6"):
         # raw fp-bit sub-byte transports (packing._pf_pack layout): all
         # sublane regroups + int32 VPU ops; mw carries the stored
@@ -216,7 +223,7 @@ def _sad_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
         ne = jnp.minimum(e, 1)
         mag = lax.shift_left(m | lax.shift_left(ne, mw), e - ne)
         smask = lax.shift_right_arithmetic(c, 31)
-        w = ((mag ^ smask) - smask).astype(jnp.bfloat16)
+        w = ((mag ^ smask) - smask).astype(jnp.float32)
     else:
         if decode == "emi8":
             # m̂-high byte layout: the int8->int32 sign extension IS the
@@ -224,8 +231,10 @@ def _sad_kernel(x_ref, c_ref, s_ref, o_ref, acc_ref, *, nk: int,
             c = p3.astype(jnp.int32)
             mhat = lax.shift_right_arithmetic(c, 8 - mw)
             w = lax.shift_left(
-                mhat, c & ((1 << (8 - mw)) - 1)).astype(jnp.bfloat16)
-        else:  # int8 / bf16 / fp16 containers: native convert
+                mhat, c & ((1 << (8 - mw)) - 1)).astype(jnp.float32)
+        elif p3.dtype == jnp.int8:    # int8 container
+            w = p3.astype(jnp.float32)
+        else:                         # bf16 / fp16 containers: as-is
             w = p3.astype(jnp.bfloat16)
     part = lax.dot_general(
         x_ref[:], w, (((2,), (1,)), ((0,), (0,))),

@@ -52,6 +52,26 @@ def main():
     mw = 4
     fold = pk.emi8_fold("fp6_e3m2")
 
+    # --- ebf8 re-encode (numpy, host): byte = [s | E5 | m2] such that
+    # bf16 bits = ((b & 0x7F) << 5) | ((b & 0x80) << 8) | (OFF << 7)
+    # represent value * 2^(EBIAS). E=0 encodes zero.
+    cn = np.asarray(pe.codes).astype(np.int32)
+    mhat = cn >> (8 - mw)
+    eprime = cn & ((1 << (8 - mw)) - 1)
+    val = (mhat << eprime).astype(np.float64)      # integer values, exact
+    m48, e48 = np.frexp(np.abs(val))               # |val| = m48 * 2^e48
+    # normalized: |val| = 1.f * 2^(e48-1); f has <=2 explicit bits here
+    frac = np.where(val != 0, np.round((m48 * 2 - 1) * 4), 0).astype(np.int32)
+    E = np.where(val != 0, e48, 0).astype(np.int32)  # 1..18 -> 5 bits
+    assert E.max() < 32 and frac.max() < 4
+    sgn = (val < 0).astype(np.int32)
+    ebf8 = ((sgn << 7) | (E << 2) | frac).astype(np.uint8).view(np.int8)
+    # assembled bf16 value = (1.f) * 2^(E - 127) = |val| * 2^-126
+    # (|val| = 1.f * 2^(E-1)); byte 0 -> bf16 0 exactly. The 2^126
+    # rescale folds into the per-block scale exponent.
+    fold_ebf = fold - 126
+    codes_ebf = jax.device_put(jnp.asarray(ebf8), dev)
+
     NB = K // B
     TM = 16
     TN = 1024
@@ -78,12 +98,24 @@ def main():
                 mhat = lax.shift_right_arithmetic(c, 8 - mw)
                 w = lax.shift_left(
                     mhat, c & ((1 << (8 - mw)) - 1)).astype(jnp.bfloat16)
+            elif variant == "ebf8":
+                # byte -> bf16 bit assembly, all 16-bit lane ops, no
+                # variable shift, no int32->bf16 repack
+                c = p3.astype(jnp.int16)
+                t = ((c & 0x7F) << 5) | ((c & 0x80) << 8)
+                w = lax.bitcast_convert_type(t, jnp.bfloat16)
+            elif variant == "f32dot":
+                c = p3.astype(jnp.int32)
+                mhat = lax.shift_right_arithmetic(c, 8 - mw)
+                w = lax.shift_left(
+                    mhat, c & ((1 << (8 - mw)) - 1)).astype(jnp.float32)
             elif variant == "zero":
                 w = p3.astype(jnp.bfloat16)
             part = lax.dot_general(
                 x_ref[:], w, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)
-            sc = _exp2_i32(s_ref[:].astype(jnp.int32) - fold)
+            f = fold_ebf if variant.startswith("ebf8") else fold
+            sc = _exp2_i32(s_ref[:].astype(jnp.int32) - f)
             acc_ref[:] += jnp.sum(part * sc[:, None, :], axis=0)
 
             @pl.when(k == nk - 1)
@@ -94,6 +126,7 @@ def main():
 
     def build(variant):
         grid = (1, N // TN, nk)
+        cds = codes_ebf if variant.startswith("ebf8") else codes
 
         def run(x2):  # x2: (M, K) bf16
             xb = jnp.pad(x2, ((0, TM - M), (0, 0))).reshape(
@@ -120,7 +153,7 @@ def main():
                     flops=2 * TM * N * K,
                     bytes_accessed=TM * K * 2 + N * K + TM * N * 4,
                     transcendentals=0),
-            )(xb, codes, se)
+            )(xb, cds, se)
 
         @jax.jit
         def loop(x0):
@@ -128,7 +161,8 @@ def main():
                 y = run(x)
                 # thread the carry through the kernel input (STATUS.md:
                 # loop-invariant bodies get hoisted)
-                nx = x + (y[:M, :M] * 1e-30).astype(jnp.bfloat16)
+                nx = x.at[:M, :M].add(
+                    (y[:M, :M] * 1e-30).astype(jnp.bfloat16))
                 return nx, ()
             xf, _ = lax.scan(step, x0, None, length=ITERS)
             return jnp.sum(xf)
@@ -142,7 +176,7 @@ def main():
         def step(x, _):
             y = lax.dot_general(x, Wd, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-            nx = x + (y[:M, :M] * 1e-30).astype(jnp.bfloat16)
+            nx = x.at[:M, :M].add((y[:M, :M] * 1e-30).astype(jnp.bfloat16))
             return nx, ()
         xf, _ = lax.scan(step, x0, None, length=ITERS)
         return jnp.sum(xf)
@@ -170,7 +204,42 @@ def main():
                           "wall_s": round(wall, 3)}), flush=True)
         return us
 
-    for tag in ("i32", "i16", "zero"):
+    # numeric parity: each variant (except the deliberately-wrong 'zero')
+    # must reproduce the i32 production decode exactly
+    def once(variant):
+        cds = codes_ebf if variant.startswith("ebf8") else codes
+        xb = jnp.pad(x0, ((0, TM - M), (0, 0))).reshape(
+            TM, NB, B).transpose(1, 0, 2)
+        return pl.pallas_call(
+            make_kernel(variant),
+            grid=(1, N // TN, nk),
+            in_specs=[
+                pl.BlockSpec((nbt, TM, B), lambda i, j, k: (k, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nbt, B, TN), lambda i, j, k: (k, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nbt, TN), lambda i, j, k: (k, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((TM, N), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        )(xb, cds, se)
+
+    ref = np.asarray(once("i32"))
+    for tag in ("i16", "ebf8", "f32dot"):
+        try:
+            got = np.asarray(once(tag))
+            exact = bool((got == ref).all())
+            md = float(np.abs(got - ref).max())
+            print(json.dumps({"variant": tag, "parity_exact": exact,
+                              "max_delta": md}), flush=True)
+        except Exception as e:
+            print(json.dumps({"variant": tag,
+                              "parity_error": str(e)[:300]}), flush=True)
+
+    for tag in ("i32", "i16", "ebf8", "f32dot", "zero"):
         try:
             measure(build(tag), tag)
         except Exception as e:
