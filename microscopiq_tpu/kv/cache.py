@@ -132,6 +132,26 @@ class QuantKVState:
     # (compress_function.py:8-70 has no padding awareness); attention
     # correctness is preserved by the mask.
     offset: jax.Array = None
+    # ---- GEAR extensions (None when disabled) ------------------------
+    # Per-chunk rank-r bases of the quantization error (GEAR-L,
+    # compress_function.py:398-426 / TrueCompressFunction.py:132-163,
+    # applied PER CHUNK so chunks stay immutable / static-shape):
+    #   err_chunk (gap, KVH*hd) ~= q @ p^T; p is stored split per head
+    #   and pre-transposed to the fused kernel's layout.
+    # k_p, v_p: (L, B, KVH, C, r, hd); k_q, v_q: (L, B, C, r, gap)
+    k_p: Optional[jax.Array] = None
+    k_q: Optional[jax.Array] = None
+    v_p: Optional[jax.Array] = None
+    v_q: Optional[jax.Array] = None
+    # Outlier side-band (GEAR-S, TrueCompressFunction.py:95-119): per
+    # chunk per head, the 2*out_k extreme values stored exactly; codes
+    # quantize the CLEANED chunk (outliers zeroed). Flat index is into
+    # the chunk's (gap*hd) row-major window.
+    # k_ov, v_ov: (L, B, KVH, C, 2k) f32; k_oi, v_oi: same, int32
+    k_ov: Optional[jax.Array] = None
+    k_oi: Optional[jax.Array] = None
+    v_ov: Optional[jax.Array] = None
+    v_oi: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -155,11 +175,27 @@ class QuantKVConfig:
     # tokens are at least residual_len old. 0 = round-1 behavior.
     residual_len: int = 0
     residual_dtype: jnp.dtype = jnp.bfloat16
+    # ---- GEAR knobs (compress_config.py rank/loop/left) ---------------
+    # rank > 0 turns on per-chunk low-rank error correction (GEAR-L /
+    # GEARL-KIVI, compress_function.py:398-426): every folded chunk also
+    # stores rank-r bases of its quantization error over the (gap,
+    # KVH*hd) token x feature window. loop = power-iteration steps.
+    rank: int = 0
+    loop: int = 2
+    # out_k > 0 turns on the exact outlier side-band (GEAR-S,
+    # TrueCompressFunction.py:95-119): the out_k smallest + out_k
+    # largest values of each (chunk, head) window are zeroed before
+    # quantization and restored exactly on dequant. Static budget — the
+    # TPU analog of the reference's `left` fraction
+    # (out_k = left * gap * hd / 2).
+    out_k: int = 0
+    lr_dtype: jnp.dtype = jnp.bfloat16
 
     def __post_init__(self):
         if self.k_group:
             assert self.gap % self.k_group == 0,                 "k_group must divide gap"
         assert self.residual_len >= 0
+        assert self.rank >= 0 and self.out_k >= 0 and self.loop >= 1
 
     @property
     def kg(self) -> int:
@@ -230,6 +266,16 @@ def init_quant_cache(n_layers, batch, max_len, kv_heads, head_dim,
            head_dim)
     if offset is None:
         offset = jnp.zeros((batch,), jnp.int32)
+    gear = {}
+    if cfg.rank > 0:
+        pshape = (n_layers, batch, kv_heads, C, cfg.rank, head_dim)
+        qshape = (n_layers, batch, C, cfg.rank, cfg.gap)
+        gear.update(k_p=z(pshape, cfg.lr_dtype), k_q=z(qshape, cfg.lr_dtype),
+                    v_p=z(pshape, cfg.lr_dtype), v_q=z(qshape, cfg.lr_dtype))
+    if cfg.out_k > 0:
+        oshape = (n_layers, batch, kv_heads, C, 2 * cfg.out_k)
+        gear.update(k_ov=z(oshape, jnp.float32), k_oi=z(oshape, jnp.int32),
+                    v_ov=z(oshape, jnp.float32), v_oi=z(oshape, jnp.int32))
     return QuantKVState(
         kq=z(shp, jnp.uint8),
         vq=z(shp, jnp.uint8),
@@ -243,6 +289,7 @@ def init_quant_cache(n_layers, batch, max_len, kv_heads, head_dim,
                 cfg.residual_dtype),
         length=z((), jnp.int32),
         offset=offset,
+        **gear,
     )
 
 
@@ -312,15 +359,182 @@ def _dequant_v(codes, mn, sc, v_group, dtype, bits: int = 4):
     return x.reshape(codes.shape).astype(dtype)
 
 
+# ---------------------------------------------------------------------------
+# GEAR chunk codecs: exact outlier side-band + low-rank error bases
+# ---------------------------------------------------------------------------
+def _extract_outliers(chunk: jax.Array, k_out: int):
+    """Zero the k_out smallest + k_out largest values of each
+    (batch, head, chunk) window (GEAR-S semantics,
+    TrueCompressFunction.py:95-107, with a per-(chunk, head) static
+    budget instead of the reference's whole-tensor fraction — the
+    static-shape TPU equivalent of ``left = 2*k_out/(gap*hd)``).
+
+    chunk: (B, KVH, nch, gap, hd) f32.
+    Returns (cleaned, vals (B, KVH, nch, 2k), idx int32 same shape) —
+    idx is flat into the chunk's row-major (gap*hd) window."""
+    B, KVH, nch, gap, hd = chunk.shape
+    flat = chunk.reshape(B, KVH, nch, gap * hd)
+    sval, sidx = jax.lax.top_k(-flat, k_out)
+    lval, lidx = jax.lax.top_k(flat, k_out)
+    vals = jnp.concatenate([-sval, lval], axis=-1)
+    idx = jnp.concatenate([sidx, lidx], axis=-1)
+    cleaned = _scatter_chunk_flat(flat, idx, jnp.zeros_like(vals))
+    return cleaned.reshape(chunk.shape), vals, idx
+
+
+def _scatter_chunk_flat(flat: jax.Array, idx: jax.Array, vals: jax.Array
+                        ) -> jax.Array:
+    """flat (..., N).at[..., idx].set(vals) with batched (..., 2k)
+    indices — one vmapped row scatter (2k is small and static)."""
+    lead = flat.shape[:-1]
+    f2 = flat.reshape(-1, flat.shape[-1])
+    i2 = idx.reshape(-1, idx.shape[-1])
+    v2 = vals.reshape(-1, vals.shape[-1]).astype(flat.dtype)
+    out = jax.vmap(lambda row, i, v: row.at[i].set(v))(f2, i2, v2)
+    return out.reshape(lead + flat.shape[-1:])
+
+
+def _orthonormalize(x: jax.Array) -> jax.Array:
+    """Orthonormal basis of the columns of x (..., n, r) — thin QR, as
+    in the reference (TrueCompressFunction.py:132-163). Power iteration
+    collapses columns toward the top singular vector, so a Gram/Cholesky
+    shortcut goes singular; QR handles the rank-deficient case. Runs
+    only at chunk-fold time (lax.cond-gated) on (n, r<=8) panels."""
+    q, _ = jnp.linalg.qr(x)
+    return q
+
+
+def _lowrank_chunk(err: jax.Array, rank: int, loop: int):
+    """Rank-r bases of per-chunk error (B, nch, gap, F) -> (p, q) with
+    err ~= q @ p^T (true_poweriteration semantics applied per chunk;
+    seedless: the iteration starts from a fixed quasi-random basis so
+    decode steps stay deterministic and key-free)."""
+    B, nch, gap, F = err.shape
+    e = err.astype(jnp.float32)
+    # fixed start: F x r slice of a deterministic low-discrepancy matrix
+    i = jnp.arange(F, dtype=jnp.float32)[:, None]
+    j = jnp.arange(rank, dtype=jnp.float32)[None, :]
+    p = jnp.cos(i * (j + 1.0) * 0.61803398875) + 1.1
+    p = jnp.broadcast_to(p, (B, nch, F, rank))
+    q = jnp.zeros((B, nch, gap, rank), jnp.float32)
+    for it in range(loop):
+        if it == loop - 1:
+            p = _orthonormalize(p)
+        q = jnp.einsum("bcgf,bcfr->bcgr", e, p)
+        if it == loop - 1:
+            q = _orthonormalize(q)
+        p = jnp.einsum("bcgf,bcgr->bcfr", e, q)
+    return p, q
+
+
+def _gear_compress_chunk(chunk: jax.Array, codes, mn, sc, dequant_fn,
+                         cfg: "QuantKVConfig"):
+    """Side-band pieces for a just-quantized chunk: low-rank bases of
+    the residual quantization error (storage layouts: p (B, KVH, nch,
+    r, hd), q (B, nch, r, gap)). ``chunk`` must already be CLEANED
+    (outliers zeroed) — error at outlier positions is zeroed by
+    construction because the side-band restores those values exactly."""
+    B, KVH, nch, gap, hd = chunk.shape
+    deq = dequant_fn(codes, mn, sc)
+    err = chunk.astype(jnp.float32) - deq.astype(jnp.float32)
+    # (B, KVH, nch, gap, hd) -> (B, nch, gap, KVH*hd): feature index is
+    # kvh*hd + d, matching the reference's (H, D) flatten order
+    ef = err.transpose(0, 2, 3, 1, 4).reshape(B, nch, gap, KVH * hd)
+    p, q = _lowrank_chunk(ef, cfg.rank, cfg.loop)
+    # p (B, nch, F, r) -> (B, KVH, nch, r, hd); q -> (B, nch, r, gap)
+    ps = p.reshape(B, nch, KVH, hd, cfg.rank).transpose(0, 2, 1, 4, 3)
+    qs = q.transpose(0, 1, 3, 2)
+    return ps.astype(cfg.lr_dtype), qs.astype(cfg.lr_dtype)
+
+
+def _apply_gear(deq: jax.Array, p, q, ov, oi, cfg: "QuantKVConfig"
+                ) -> jax.Array:
+    """Apply the GEAR side-band to dequantized chunks.
+
+    deq: (B, KVH, C, gap, hd); p: (B, KVH, C, r, hd); q: (B, C, r, gap);
+    ov/oi: (B, KVH, C, 2k). Low-rank error first (additive), outliers
+    last (exact overwrite), mirroring true_gear_decompress
+    (TrueCompressFunction.py:190-217)."""
+    B, KVH, C, gap, hd = deq.shape
+    x = deq.astype(jnp.float32)
+    if cfg.rank > 0 and p is not None:
+        x = x + jnp.einsum("bcrg,bkcrd->bkcgd", q.astype(jnp.float32),
+                           p.astype(jnp.float32))
+    if cfg.out_k > 0 and ov is not None:
+        flat = x.reshape(B, KVH, C, gap * hd)
+        flat = _scatter_chunk_flat(flat, oi, ov)
+        x = flat.reshape(deq.shape)
+    return x.astype(deq.dtype)
+
+
+def _compress_chunks(kc: jax.Array, vc: jax.Array, cfg: QuantKVConfig,
+                     gate: Optional[jax.Array] = None):
+    """Quantize head-major chunks (B, KVH, nch, gap, hd) and build every
+    store piece — codes/scales plus, when configured, the GEAR outlier
+    side-band and low-rank error bases. Returns {name: array} in storage
+    layouts (no leading L axis).
+
+    ``gate``: decode-step fold predicate. The plain KIVI quant is cheap
+    enough to run unconditionally (the caller predicates the write), but
+    the GEAR side-band math (top_k sort + power iteration + Cholesky)
+    is not — with gear on, the whole compute rides a lax.cond so
+    non-fold decode steps pay nothing. Operands are one small chunk, so
+    the cond carries no big buffers (cf. the module design note)."""
+    def compute(ops):
+        kc, vc = ops
+        out = {}
+        kc = kc.astype(jnp.float32)
+        vc = vc.astype(jnp.float32)
+        if cfg.out_k > 0:
+            kc, out["k_ov"], out["k_oi"] = _extract_outliers(kc, cfg.out_k)
+            vc, out["v_ov"], out["v_oi"] = _extract_outliers(vc, cfg.out_k)
+        kq, kmn, ksc = _quant_chunk_k(kc, cfg.bits, cfg.kg)
+        vq, vmn, vsc = _quant_chunk_v(vc, cfg.bits, cfg.v_group)
+        out.update(kq=kq, k_mn=kmn, k_sc=ksc, vq=vq, v_mn=vmn, v_sc=vsc)
+        if cfg.rank > 0:
+            out["k_p"], out["k_q"] = _gear_compress_chunk(
+                kc, kq, kmn, ksc,
+                lambda c, m, s: _dequant_k(c, m, s, jnp.float32, cfg.bits),
+                cfg)
+            out["v_p"], out["v_q"] = _gear_compress_chunk(
+                vc, vq, vmn, vsc,
+                lambda c, m, s: _dequant_v(c, m, s, cfg.v_group,
+                                           jnp.float32, cfg.bits), cfg)
+        return out
+
+    if gate is None or (cfg.rank == 0 and cfg.out_k == 0):
+        return compute((kc, vc))
+    shapes = jax.eval_shape(compute, (kc, vc))
+    zeros = lambda ops: jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    return jax.lax.cond(gate, compute, zeros, (kc, vc))
+
+
+# chunk-axis position of each store piece in its FULL (L-leading) buffer
+_CHUNK_AXIS = {"kq": 3, "k_mn": 3, "k_sc": 3, "vq": 3, "v_mn": 3,
+               "v_sc": 3, "k_p": 3, "v_p": 3, "k_ov": 3, "k_oi": 3,
+               "v_ov": 3, "v_oi": 3, "k_q": 2, "v_q": 2}
+
+_GEAR_FIELDS = ("k_p", "k_q", "v_p", "v_q", "k_ov", "k_oi", "v_ov",
+                "v_oi")
+
+
+def _store_fields(cfg: QuantKVConfig):
+    base = ["kq", "vq", "k_mn", "k_sc", "v_mn", "v_sc", "res_k", "res_v"]
+    if cfg.rank > 0:
+        base += ["k_p", "k_q", "v_p", "v_q"]
+    if cfg.out_k > 0:
+        base += ["k_ov", "k_oi", "v_ov", "v_oi"]
+    return base
+
+
 class QuantizedDecodeCache:
     """4/2-bit grouped KV cache with fp residual window."""
 
     def __init__(self, state: QuantKVState, cfg: QuantKVConfig):
         self.state = state
         self.cfg = cfg
-        self._upd = {f: getattr(state, f) for f in
-                     ("kq", "vq", "k_mn", "k_sc", "v_mn", "v_sc",
-                      "res_k", "res_v")}
+        self._upd = {f: getattr(state, f) for f in _store_fields(cfg)}
         self._new_len = state.length
 
     # -- internals ---------------------------------------------------------
@@ -336,10 +550,7 @@ class QuantizedDecodeCache:
                                           ).transpose(0, 3, 1, 2, 4)
             vc = v[:, :nch * gap].reshape(B, nch, gap, KVH, hd
                                           ).transpose(0, 3, 1, 2, 4)
-            kq, kmn, ksc = _quant_chunk_k(kc, cfg.bits, cfg.kg)
-            vq, vmn, vsc = _quant_chunk_v(vc, cfg.bits, cfg.v_group)
-            for name, val in (("kq", kq), ("k_mn", kmn), ("k_sc", ksc),
-                              ("vq", vq), ("v_mn", vmn), ("v_sc", vsc)):
+            for name, val in _compress_chunks(kc, vc, cfg).items():
                 buf = self._upd[name]
                 self._upd[name] = jax.lax.dynamic_update_slice(
                     buf, val[None].astype(buf.dtype),
@@ -382,10 +593,7 @@ class QuantizedDecodeCache:
         # the write below is predicated so it only lands on fold steps
         rk = self._upd["res_k"][li, :, :gap].transpose(0, 2, 1, 3)[:, :, None]
         rv = self._upd["res_v"][li, :, :gap].transpose(0, 2, 1, 3)[:, :, None]
-        kcq, kcmn, kcsc = _quant_chunk_k(rk.astype(jnp.float32), cfg.bits,
-                                         cfg.kg)
-        vcq, vcmn, vcsc = _quant_chunk_v(rv.astype(jnp.float32),
-                                         cfg.bits, cfg.v_group)
+        pieces = _compress_chunks(rk, rv, cfg, gate=chunk_ready)
 
         def wr(name, val, chunk_axis):
             buf = self._upd[name]
@@ -397,12 +605,8 @@ class QuantizedDecodeCache:
             sel = jnp.where(chunk_ready, val, cur)
             self._upd[name] = jax.lax.dynamic_update_slice(buf, sel, idx)
 
-        wr("kq", kcq, 3)
-        wr("k_mn", kcmn, 3)
-        wr("k_sc", kcsc, 3)
-        wr("vq", vcq, 3)
-        wr("v_mn", vcmn, 3)
-        wr("v_sc", vcsc, 3)
+        for name, val in pieces.items():
+            wr(name, val, _CHUNK_AXIS[name])
 
         if cfg.residual_len > 0:
             # on fold, the residual_len protected tokens (+ the one just
@@ -439,6 +643,13 @@ class QuantizedDecodeCache:
         v_chunks = _dequant_v(vq, self._upd["v_mn"][layer_idx],
                               self._upd["v_sc"][layer_idx], cfg.v_group,
                               k.dtype, cfg.bits)
+        if cfg.rank > 0 or cfg.out_k > 0:
+            g = lambda n: (self._upd[n][layer_idx]
+                           if n in self._upd else None)
+            k_chunks = _apply_gear(k_chunks, g("k_p"), g("k_q"),
+                                   g("k_ov"), g("k_oi"), cfg)
+            v_chunks = _apply_gear(v_chunks, g("v_p"), g("v_q"),
+                                   g("v_ov"), g("v_oi"), cfg)
         # (B, KVH, C, gap, hd) -> (B, C*gap, KVH, hd)
         k_chunks = k_chunks.reshape(B, KVH, C * gap, hd).transpose(
             0, 2, 1, 3)
@@ -472,13 +683,21 @@ class QuantizedDecodeCache:
         update residual/chunks, return the FULL state buffers + new
         length. The kernel indexes the layer via a prefetch scalar, so
         no per-layer slice of the cache is ever materialized and the
-        dense K/V never exists (see ops/pallas/quant_attention.py)."""
+        dense K/V never exists (see ops/pallas/quant_attention.py).
+        With cfg.rank > 0 the tuple grows by the four low-rank basis
+        buffers (the kernel folds the correction into logits/output);
+        the exact outlier side-band is XLA-path-only."""
         assert self.cfg.n_k_groups == 1 and self.cfg.residual_len == 0,             "fused decode kernel serves the k_group == gap, "             "residual_len == 0 layout; use the XLA path otherwise"
+        assert self.cfg.out_k == 0, \
+            "fused decode kernel does not scatter the exact outlier " \
+            "side-band; use the XLA cache path for GEAR-S configs"
         self._ingest_decode(layer_idx, k, v)
         self._new_len = self.state.length + 1
-        full = tuple(self._upd[n] for n in
-                     ("kq", "k_mn", "k_sc", "vq", "v_mn", "v_sc",
-                      "res_k", "res_v"))
+        names = ("kq", "k_mn", "k_sc", "vq", "v_mn", "v_sc",
+                 "res_k", "res_v")
+        if self.cfg.rank > 0:
+            names += ("k_p", "k_q", "v_p", "v_q")
+        full = tuple(self._upd[n] for n in names)
         return full, self._new_len
 
     def finalize(self) -> QuantKVState:
@@ -493,6 +712,13 @@ class QuantizedDecodeCache:
         feat = KVH * hd
         bytes_q = (cfg.bits / 8) * feat + \
             8 * feat * cfg.n_k_groups / cfg.gap + 8 * feat / cfg.v_group
+        if cfg.rank > 0:
+            # per token, K and V each: p (KVH*hd*r / gap) + q (r) elems
+            lr_b = jnp.dtype(cfg.lr_dtype).itemsize
+            bytes_q += 2 * lr_b * (feat * cfg.rank / cfg.gap + cfg.rank)
+        if cfg.out_k > 0:
+            # 2k (f32 value + i32 index) per chunk per head, K and V
+            bytes_q += 2 * KVH * 2 * cfg.out_k * 8 / cfg.gap
         return (2.0 * feat) / bytes_q
 
 
@@ -527,9 +753,7 @@ class SlotQuantizedDecodeCache:
         self.state = state
         self.cfg = cfg
         self.active = active                 # (B,) bool
-        self._upd = {f: getattr(state, f) for f in
-                     ("kq", "vq", "k_mn", "k_sc", "v_mn", "v_sc",
-                      "res_k", "res_v")}
+        self._upd = {f: getattr(state, f) for f in _store_fields(cfg)}
         self._new_len = state.length
 
     def _ingest(self, layer_idx: int, k, v):
@@ -557,29 +781,30 @@ class SlotQuantizedDecodeCache:
         cidx = jnp.maximum(nfull_new - 1, 0)
 
         # quantize every slot's residual window (oldest gap slots) every
-        # step; land it only on slots whose window just filled
+        # step; land it only on slots whose window just filled. With
+        # GEAR on, the side-band math runs only when ANY slot folds
+        # (scalar gate; the per-slot write predication still applies).
         rk = self._upd["res_k"][li, :, :gap].transpose(0, 2, 1, 3)[:, :, None]
         rv = self._upd["res_v"][li, :, :gap].transpose(0, 2, 1, 3)[:, :, None]
-        kcq, kcmn, kcsc = _quant_chunk_k(rk.astype(jnp.float32), cfg.bits,
-                                         cfg.kg)
-        vcq, vcmn, vcsc = _quant_chunk_v(rv.astype(jnp.float32),
-                                         cfg.bits, cfg.v_group)
+        pieces = _compress_chunks(rk, rv, cfg, gate=jnp.any(ready))
 
-        def wr(name, val):
+        def wr(name, val, chunk_axis):
             buf = self._upd[name]
-            val = val[:, :, 0]                   # (B, KVH, ...chunk dims)
-            cur = buf[li, b_idx, :, cidx]        # gather (B, KVH, ...)
+            val = val[:, :, 0] if chunk_axis == 3 else val[:, 0]
+            if chunk_axis == 3:                  # (L, B, KVH, C, ...)
+                cur = buf[li, b_idx, :, cidx]    # gather (B, KVH, ...)
+            else:                                # (L, B, C, ...) [k_q/v_q]
+                cur = buf[li, b_idx, cidx]
             sel = jnp.where(
                 ready.reshape((B,) + (1,) * (val.ndim - 1)),
                 val.astype(buf.dtype), cur)
-            self._upd[name] = buf.at[li, b_idx, :, cidx].set(sel)
+            if chunk_axis == 3:
+                self._upd[name] = buf.at[li, b_idx, :, cidx].set(sel)
+            else:
+                self._upd[name] = buf.at[li, b_idx, cidx].set(sel)
 
-        wr("kq", kcq)
-        wr("k_mn", kcmn)
-        wr("k_sc", kcsc)
-        wr("vq", vcq)
-        wr("v_mn", vcmn)
-        wr("v_sc", vcsc)
+        for name, val in pieces.items():
+            wr(name, val, _CHUNK_AXIS[name])
 
         if cfg.residual_len > 0:
             for name in ("res_k", "res_v"):
@@ -596,10 +821,15 @@ class SlotQuantizedDecodeCache:
         FULL buffers + per-slot new lengths (cf. QuantizedDecodeCache
         .ingest_for_fused; the kernel takes a (B,) length vector)."""
         assert self.cfg.n_k_groups == 1 and self.cfg.residual_len == 0,             "fused decode kernel serves the k_group == gap, "             "residual_len == 0 layout; use the XLA path otherwise"
+        assert self.cfg.out_k == 0, \
+            "fused decode kernel does not scatter the exact outlier " \
+            "side-band; use the XLA cache path for GEAR-S configs"
         self._ingest(layer_idx, k, v)
-        full = tuple(self._upd[n] for n in
-                     ("kq", "k_mn", "k_sc", "vq", "v_mn", "v_sc",
-                      "res_k", "res_v"))
+        names = ("kq", "k_mn", "k_sc", "vq", "v_mn", "v_sc",
+                 "res_k", "res_v")
+        if self.cfg.rank > 0:
+            names += ("k_p", "k_q", "v_p", "v_q")
+        full = tuple(self._upd[n] for n in names)
         return full, self._new_len
 
     def update(self, layer_idx: int, k, v, positions, mask):
@@ -619,6 +849,12 @@ class SlotQuantizedDecodeCache:
         v_chunks = _dequant_v(vq, self._upd["v_mn"][li],
                               self._upd["v_sc"][li], cfg.v_group, k.dtype,
                               cfg.bits)
+        if cfg.rank > 0 or cfg.out_k > 0:
+            g = lambda n: self._upd[n][li] if n in self._upd else None
+            k_chunks = _apply_gear(k_chunks, g("k_p"), g("k_q"),
+                                   g("k_ov"), g("k_oi"), cfg)
+            v_chunks = _apply_gear(v_chunks, g("v_p"), g("v_q"),
+                                   g("v_ov"), g("v_oi"), cfg)
         k_chunks = k_chunks.reshape(B, KVH, C * gap, hd).transpose(
             0, 2, 1, 3)
         v_chunks = v_chunks.reshape(B, KVH, C * gap, hd).transpose(
@@ -658,9 +894,7 @@ class SlotQuantPrefillCache:
         self.cfg = cfg
         self.slot = slot
         self.true_len = true_len
-        self._upd = {f: getattr(state, f) for f in
-                     ("kq", "vq", "k_mn", "k_sc", "v_mn", "v_sc",
-                      "res_k", "res_v")}
+        self._upd = {f: getattr(state, f) for f in _store_fields(cfg)}
 
     def update(self, layer_idx: int, k, v, positions, mask):
         st, cfg = self.state, self.cfg
@@ -675,28 +909,30 @@ class SlotQuantPrefillCache:
                                           ).transpose(2, 0, 1, 3)[None]
             vc = v[0, :nch * gap].reshape(nch, gap, KVH, hd
                                           ).transpose(2, 0, 1, 3)[None]
-            kcq, kcmn, kcsc = _quant_chunk_k(kc.astype(jnp.float32),
-                                             cfg.bits, cfg.kg)
-            vcq, vcmn, vcsc = _quant_chunk_v(vc.astype(jnp.float32),
-                                             cfg.bits, cfg.v_group)
+            pieces = _compress_chunks(kc, vc, cfg)
             cvalid = jnp.arange(nch) < nfull
 
-            def wr(name, val):
+            def wr(name, val, chunk_axis):
                 buf = self._upd[name]
-                val = val[0]                     # (KVH, nch, ...)
+                val = val[0]             # (KVH, nch, ...) or (nch, ...)
                 c_idx = jnp.arange(nch)
-                cur = buf[li, self.slot, :, c_idx]   # (nch, KVH, ...)
+                if chunk_axis == 3:              # (L, B, KVH, C, ...)
+                    cur = buf[li, self.slot, :, c_idx]   # (nch, KVH, ..)
+                    val = jnp.moveaxis(val, 0, 1)
+                else:                            # (L, B, C, ...) [k_q]
+                    cur = buf[li, self.slot, c_idx]      # (nch, ...)
                 sel = jnp.where(
                     cvalid.reshape((nch,) + (1,) * (cur.ndim - 1)),
-                    jnp.moveaxis(val, 0, 1).astype(buf.dtype), cur)
-                self._upd[name] = buf.at[li, self.slot, :, c_idx].set(sel)
+                    val.astype(buf.dtype), cur)
+                if chunk_axis == 3:
+                    self._upd[name] = buf.at[li, self.slot, :,
+                                             c_idx].set(sel)
+                else:
+                    self._upd[name] = buf.at[li, self.slot,
+                                             c_idx].set(sel)
 
-            wr("kq", kcq)
-            wr("k_mn", kcmn)
-            wr("k_sc", kcsc)
-            wr("vq", vcq)
-            wr("v_mn", vcmn)
-            wr("v_sc", vcsc)
+            for name, val in pieces.items():
+                wr(name, val, _CHUNK_AXIS[name])
 
         # tail -> residual rows [0, true_len - nfull*gap); grab an
         # R-sized window starting at nfull*gap (pad to stay in range)

@@ -46,12 +46,30 @@ def _expand_rows(a: jax.Array, times: int) -> jax.Array:
         r * times, n)
 
 
-def _chunk_kernel(nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
-                  vq_ref, vmn_ref, vsc_ref,
-                  o_ref, m_ref, l_ref, acc_ref, ms_ref, ls_ref,
-                  *, ncb: int, cb: int, rep: int, gap: int, hd: int,
-                  vg: int, bits: int, scale: float):
+def _chunk_kernel(*refs, ncb: int, cb: int, rep: int, gap: int, hd: int,
+                  vg: int, bits: int, scale: float, rank: int = 0):
+    if rank > 0:
+        (nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
+         vq_ref, vmn_ref, vsc_ref, kp_ref, kqb_ref, vp_ref, vqb_ref,
+         o_ref, m_ref, l_ref, acc_ref, ms_ref, ls_ref) = refs
+    else:
+        (nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
+         vq_ref, vmn_ref, vsc_ref,
+         o_ref, m_ref, l_ref, acc_ref, ms_ref, ls_ref) = refs
     per = {2: 4, 4: 2, 8: 1}[bits]
+
+    def block_diag(bases3):
+        """(cb, r, gap) per-chunk bases -> (cb*r, cb*gap) block-diagonal
+        operand: chunk c's rows live at sublanes [c*r, (c+1)*r) and its
+        lanes at [c*gap, (c+1)*gap). Build = one lane-concat tile + one
+        iota-mask select; the result feeds a single MXU dot that applies
+        EVERY chunk's rank-r correction at once (GEAR-L per chunk,
+        compress_function.py:398-426 folded into the flash loop)."""
+        flat = bases3.reshape(cb * rank, gap).astype(jnp.float32)
+        tiled = jnp.concatenate([flat] * cb, axis=1)     # (cb*r, T)
+        rowc = lax.broadcasted_iota(jnp.int32, tiled.shape, 0) // rank
+        colc = lax.broadcasted_iota(jnp.int32, tiled.shape, 1) // gap
+        return jnp.where(rowc == colc, tiled, 0.0)
 
     def unpack(codes3):
         """(cb, gap//per, hd) packed uint8 -> (cb*gap, hd) f32 values
@@ -87,6 +105,18 @@ def _chunk_kernel(nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
         logits = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # (rep, T)
+        if rank > 0:
+            # K low-rank correction: logits += (q @ P^T) @ BD(q_k).
+            # P stacks the tile's per-chunk (r, hd) bases on sublanes;
+            # BD applies each chunk's coefficients only to its own gap
+            # of key slots. Two small MXU dots for the whole tile.
+            P = kp_ref[0, 0].reshape(cb * rank, hd).astype(jnp.float32)
+            A = lax.dot_general(
+                q, P, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (rep, cb*r)
+            logits = logits + lax.dot_general(
+                A, block_diag(kqb_ref[0]), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
         # mask keys whose chunk is not yet folded
         key_chunk = c * cb + lax.broadcasted_iota(jnp.int32, (rep, T),
                                                   1) // gap
@@ -141,6 +171,17 @@ def _chunk_kernel(nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
                 seg = pv_all[gi * rep:(gi + 1) * rep] + mnd
                 pv = pv + jnp.where(
                     (lane >= gi * vg) & (lane < (gi + 1) * vg), seg, 0.0)
+        if rank > 0:
+            # V low-rank correction: pv += (p @ BD(q_v)^T) @ P_v.
+            # Unfolded chunks contribute nothing (their p is exp(-inf)
+            # = 0 and their bases are zero-initialized).
+            coef = lax.dot_general(
+                p, block_diag(vqb_ref[0]), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # (rep, cb*r)
+            Pv = vp_ref[0, 0].reshape(cb * rank, hd).astype(jnp.float32)
+            pv = pv + lax.dot_general(
+                coef, Pv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         acc_ref[:] = acc_ref[:] * alpha + pv
         ls_ref[:, :1] = ls_ref[:, :1] * alpha + jnp.sum(p, axis=1,
                                                         keepdims=True)
@@ -154,7 +195,7 @@ def _chunk_kernel(nfull_ref, q_ref, kq_ref, kmn_ref, ksc_ref,
 
 
 def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, nfull, scale,
-                     gap, bits, interpret=False):
+                     gap, bits, lowrank=None, interpret=False):
     """Partial flash state over the quantized chunks of one layer.
 
     q: (B, KVH, rep, hd) bf16; kq/... are ONE LAYER's cache buffers
@@ -185,32 +226,53 @@ def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, nfull, scale,
         vsc = vsc.transpose(0, 1, 4, 2, 3).reshape(B, KVH, Gh, C * gap)
     # flat scale blocks need lane sizes divisible by 128 (or the full
     # array dim); one full-width tile satisfies that for any C and
-    # keeps VMEM modest (C*gap*hd codes ~400 KB, f32 temps ~2 MB)
+    # keeps VMEM modest (C*gap*hd codes ~400 KB, f32 temps ~2 MB).
+    # With low-rank corrections the tile shrinks so the (cb*r, cb*gap)
+    # block-diagonal operand stays small (64 KB at cb=8, r=4, gap=64).
+    rank = 0 if lowrank is None else lowrank[0].shape[-2]
     cb = C
+    if rank > 0:
+        cb = next(d for d in (8, 4, 2, 1) if C % d == 0)
     ncb = C // cb
     grid = (B, KVH, ncb)
     kernel = functools.partial(
         _chunk_kernel, ncb=ncb, cb=cb, rep=rep, gap=gap, hd=hd, vg=vg,
-        bits=bits, scale=scale)
+        bits=bits, scale=scale, rank=rank)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, rep, hd), lambda b, g, c, s: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, cb, rows, hd),
+                     lambda b, g, c, s: (b, g, c, 0, 0)),
+        pl.BlockSpec((1, 1, C, hd),
+                     lambda b, g, c, s: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, C, hd),
+                     lambda b, g, c, s: (b, g, 0, 0)),
+        pl.BlockSpec((1, 1, cb, rows, hd),
+                     lambda b, g, c, s: (b, g, c, 0, 0)),
+        pl.BlockSpec((1, 1, Gh, cb * gap),
+                     lambda b, g, c, s: (b, g, 0, c)),
+        pl.BlockSpec((1, 1, Gh, cb * gap),
+                     lambda b, g, c, s: (b, g, 0, c)),
+    ]
+    operands = [q, kq, kmn, ksc, vq, vmn, vsc]
+    if rank > 0:
+        kp, kqb, vp, vqb = lowrank
+        in_specs += [
+            pl.BlockSpec((1, 1, cb, rank, hd),
+                         lambda b, g, c, s: (b, g, c, 0, 0)),
+            pl.BlockSpec((1, cb, rank, gap),
+                         lambda b, g, c, s: (b, c, 0, 0)),
+            pl.BlockSpec((1, 1, cb, rank, hd),
+                         lambda b, g, c, s: (b, g, c, 0, 0)),
+            pl.BlockSpec((1, cb, rank, gap),
+                         lambda b, g, c, s: (b, c, 0, 0)),
+        ]
+        operands += [kp, kqb, vp, vqb]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, rep, hd), lambda b, g, c, s: (b, g, 0, 0)),
-            pl.BlockSpec((1, 1, cb, rows, hd),
-                         lambda b, g, c, s: (b, g, c, 0, 0)),
-            pl.BlockSpec((1, 1, C, hd),
-                         lambda b, g, c, s: (b, g, 0, 0)),
-            pl.BlockSpec((1, 1, C, hd),
-                         lambda b, g, c, s: (b, g, 0, 0)),
-            pl.BlockSpec((1, 1, cb, rows, hd),
-                         lambda b, g, c, s: (b, g, c, 0, 0)),
-            pl.BlockSpec((1, 1, Gh, cb * gap),
-                         lambda b, g, c, s: (b, g, 0, c)),
-            pl.BlockSpec((1, 1, Gh, cb * gap),
-                         lambda b, g, c, s: (b, g, 0, c)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, rep, hd), lambda b, g, c, s: (b, g, 0, 0)),
             pl.BlockSpec((1, 1, rep, 1), lambda b, g, c, s: (b, g, 0, 0)),
@@ -232,7 +294,7 @@ def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, nfull, scale,
         ],
         interpret=interpret,
     )(jnp.broadcast_to(jnp.asarray(nfull, jnp.int32), (B,)),
-      q, kq, kmn, ksc, vq, vmn, vsc)
+      *operands)
     return o, m, l
 
 
@@ -269,7 +331,8 @@ def quant_attention_decode(q, state_full, layer, length, v_group: int,
         (B,) per-slot depths for the continuous-batching slot cache.
     Returns (B, H, hd) attention output in q.dtype.
     """
-    kq, kmn, ksc, vq, vmn, vsc, res_k, res_v = state_full
+    kq, kmn, ksc, vq, vmn, vsc, res_k, res_v = state_full[:8]
+    lowrank_full = state_full[8:12] if len(state_full) >= 12 else None
     L = kq.shape[0]
     B, H, hd = q.shape
     KVH = kq.shape[2]
@@ -286,9 +349,12 @@ def quant_attention_decode(q, state_full, layer, length, v_group: int,
     # custom-call boundary (see _chunk_attention docstring)
     sl = lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0,
                                                 keepdims=False)
+    lowrank = (tuple(sl(a) for a in lowrank_full)
+               if lowrank_full is not None else None)
     o1, m1, l1 = _chunk_attention(
         qg.astype(jnp.bfloat16), sl(kq), sl(kmn), sl(ksc), sl(vq),
-        sl(vmn), sl(vsc), nfull, scale, gap, bits, interpret=interpret)
+        sl(vmn), sl(vsc), nfull, scale, gap, bits, lowrank=lowrank,
+        interpret=interpret)
     res_k_l = sl(res_k)
     res_v_l = sl(res_v)
     o2, m2, l2 = _residual_attention(qg, res_k_l, res_v_l, res_len,
@@ -309,7 +375,7 @@ def quant_attention_decode_reference(q, state_full, layer, length,
     from ...kv.cache import _dequant_k, _dequant_v
 
     kq, kmn, ksc, vq, vmn, vsc, res_k, res_v = (
-        b[layer] for b in state_full)
+        b[layer] for b in state_full[:8])
     B, H, hd = q.shape
     KVH = kq.shape[1]
     rep = H // KVH
@@ -317,6 +383,14 @@ def quant_attention_decode_reference(q, state_full, layer, length,
     bits = {1: 8, 2: 4, 4: 2}[gap // kq.shape[3]]
     k_chunks = _dequant_k(kq, kmn, ksc, jnp.float32, bits)
     v_chunks = _dequant_v(vq, vmn, vsc, v_group, jnp.float32, bits)
+    if len(state_full) >= 12:
+        # GEAR-L low-rank error correction (bases per chunk)
+        kp, kqb, vp, vqb = (b[layer] for b in state_full[8:12])
+        corr = lambda x, p, qb: x + jnp.einsum(
+            "bcrg,bkcrd->bkcgd", qb.astype(jnp.float32),
+            p.astype(jnp.float32)).astype(x.dtype)
+        k_chunks = corr(k_chunks, kp, kqb)
+        v_chunks = corr(v_chunks, vp, vqb)
     k_all = jnp.concatenate(
         [k_chunks.reshape(B, KVH, C * gap, hd),
          res_k.astype(jnp.float32).transpose(0, 2, 1, 3)], axis=2)
