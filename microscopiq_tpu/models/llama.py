@@ -217,7 +217,10 @@ class QLinear(fnn.Module):
                      else dequant_matmul_outlier_reference)
             y = f(x, kernel, out_dtype=self.dtype)
         elif self.mx_specs is not None:
-            y = mnn.linear(x, kernel.T, None, self.mx_specs)
+            # bias goes THROUGH the MX linear: the reference elemwise-
+            # quantizes the bias and re-quantizes the output after the
+            # add (number_system/mx/linear.py:48-105)
+            return mnn.linear(x, kernel.T, bias, self.mx_specs)
         else:
             y = x @ kernel
         if bias is not None:
@@ -297,6 +300,10 @@ class Attention(fnn.Module):
             logits = jnp.where(mask[:, :, None], logits,
                                jnp.finfo(jnp.float32).min)
             probs = jax.nn.softmax(logits, axis=-1)
+            if cache is not None and hasattr(cache, "observe"):
+                # H2O heavy-hitter score feedback (kv/h2o.py): attention
+                # mass per key slot, summed over heads and query rows
+                cache.observe(layer_idx, probs.sum(axis=(1, 2, 3)))
             probs = probs.astype(v.dtype)
             out = jnp.einsum("bgrqk,bkgd->bqgrd", probs, v)
             out = out.reshape(B, S, H * hd)
@@ -307,6 +314,8 @@ class Attention(fnn.Module):
                 logits = logits + alibi[None, :, None, :]
             logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
             probs = jax.nn.softmax(logits, axis=-1)
+            if cache is not None and hasattr(cache, "observe"):
+                cache.observe(layer_idx, probs.sum(axis=(1, 2)))
             probs = probs.astype(v.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v
                              ).reshape(B, S, H * hd)

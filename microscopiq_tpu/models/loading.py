@@ -170,6 +170,44 @@ def convert_opt(state: Dict[str, np.ndarray], cfg: OPTConfig):
     return {"params": p}
 
 
+def export_llama_state_dict(params, cfg: LlamaConfig
+                            ) -> Dict[str, np.ndarray]:
+    """LlamaForCausalLM params → HF-named numpy state dict.
+
+    Inverse of :func:`convert_llama` (dense MLP Llama/Mistral only) — lets
+    a model trained in this framework be loaded into
+    ``transformers.LlamaForCausalLM`` for differential testing against the
+    reference torch pipeline (``llm/llama.py:61-285``).
+    """
+    p = params["params"] if "params" in params else params
+    m = p["model"]
+    out: Dict[str, np.ndarray] = {}
+
+    def put(k, v):
+        out[k] = np.ascontiguousarray(np.asarray(v, np.float32))
+
+    put("model.embed_tokens.weight", m["embed_tokens"])
+    for i in range(cfg.num_hidden_layers):
+        layer = m[f"layers_{i}"]
+        pre = f"model.layers.{i}."
+        for n in ("q", "k", "v", "o"):
+            put(pre + f"self_attn.{n}_proj.weight",
+                np.asarray(layer["self_attn"][f"{n}_proj"]["kernel"]).T)
+        for n in ("gate", "up", "down"):
+            put(pre + f"mlp.{n}_proj.weight",
+                np.asarray(layer["mlp"][f"{n}_proj"]["kernel"]).T)
+        put(pre + "input_layernorm.weight",
+            layer["input_layernorm"]["scale"])
+        put(pre + "post_attention_layernorm.weight",
+            layer["post_attention_layernorm"]["scale"])
+    put("model.norm.weight", m["norm"]["scale"])
+    if cfg.tie_word_embeddings:
+        put("lm_head.weight", m["embed_tokens"])
+    else:
+        put("lm_head.weight", np.asarray(p["lm_head"]["kernel"]).T)
+    return out
+
+
 def export_opt_state_dict(params, cfg: OPTConfig) -> Dict[str, np.ndarray]:
     """OPTForCausalLM params → HF-named numpy state dict.
 

@@ -78,14 +78,19 @@ class OPTLayer(fnn.Module):
     cfg: OPTConfig
     mx_specs: Optional[MxSpecs] = None
     use_pallas: bool = True
+    # mx_linear_only replicates the reference's quantize_model swap
+    # (utils/quant_model.py:15-71): ONLY nn.Linear becomes MXLinear —
+    # LayerNorm / ReLU / attention internals stay dense
+    mx_linear_only: bool = False
 
     @fnn.compact
     def __call__(self, x, mask, cache=None, layer_idx: int = 0,
                  positions=None):
         cfg = self.cfg
-        ln1 = mnn.LayerNorm(cfg.hidden_size, mx_specs=self.mx_specs,
+        other = None if self.mx_linear_only else self.mx_specs
+        ln1 = mnn.LayerNorm(cfg.hidden_size, mx_specs=other,
                             name="self_attn_layer_norm")
-        ln2 = mnn.LayerNorm(cfg.hidden_size, mx_specs=self.mx_specs,
+        ln2 = mnn.LayerNorm(cfg.hidden_size, mx_specs=other,
                             name="final_layer_norm")
         attn = OPTAttention(cfg, self.mx_specs, self.use_pallas,
                             name="self_attn")
@@ -97,10 +102,10 @@ class OPTLayer(fnn.Module):
         if cfg.do_layer_norm_before:
             x = x + attn(ln1(x), mask, cache, layer_idx, positions)
             h = ln2(x)
-            x = x + fc2(mnn.relu(fc1(h), self.mx_specs))
+            x = x + fc2(mnn.relu(fc1(h), other))
         else:
             x = ln1(x + attn(x, mask, cache, layer_idx, positions))
-            x = ln2(x + fc2(mnn.relu(fc1(x), self.mx_specs)))
+            x = ln2(x + fc2(mnn.relu(fc1(x), other)))
         return x
 
 
@@ -108,6 +113,7 @@ class OPTForCausalLM(fnn.Module):
     cfg: OPTConfig
     mx_specs: Optional[MxSpecs] = None
     use_pallas: bool = True
+    mx_linear_only: bool = False
 
     @fnn.compact
     def __call__(self, input_ids, positions=None, mask=None, cache=None):
@@ -128,10 +134,13 @@ class OPTForCausalLM(fnn.Module):
         x = embed[input_ids] + pos_embed[positions + 2]
         for i in range(cfg.num_hidden_layers):
             x = OPTLayer(cfg, self.mx_specs, self.use_pallas,
+                         self.mx_linear_only,
                          name=f"layers_{i}")(x, mask, cache, i, positions)
         if cfg.do_layer_norm_before:
-            x = mnn.LayerNorm(cfg.hidden_size, mx_specs=self.mx_specs,
-                              name="final_layer_norm")(x)
+            x = mnn.LayerNorm(
+                cfg.hidden_size,
+                mx_specs=None if self.mx_linear_only else self.mx_specs,
+                name="final_layer_norm")(x)
         if cfg.tie_word_embeddings:
             logits = x @ embed.T
         else:

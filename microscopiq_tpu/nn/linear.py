@@ -61,11 +61,13 @@ def _mx_linear_fwd(x, weight, bias, mx_specs):
                                        round=mx_specs["round_weight"])
 
     from ..ops.outlier import quantize_mx_outlier_op
+    a_axes = mx_specs.get("a_axes")
     qis_input = quantize_mx_outlier_op(
         bf_in, mx_specs,
         inlier_elem_format=mx_specs["a_elem_format"],
         outlier_elem_format=mx_specs["a_elem_format"],
-        axes=[-1], round=mx_specs["round_mx_output"])
+        axes=[-1 if a_axes is None else a_axes],
+        round=mx_specs["round_mx_output"])
     qis_weight = quantize_mx_outlier_op(
         bf_weight, mx_specs,
         inlier_elem_format=mx_specs["w_elem_format"],

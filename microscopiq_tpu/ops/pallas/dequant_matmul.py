@@ -421,18 +421,27 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
     ww = pk.to_serving_layout(w)
     NB, _, N = ww.codes.shape
     Kp = NB * B
-    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
+    x2 = x.reshape(-1, x.shape[-1])
     M = x2.shape[0]
 
-    TM = _round_up(max(M, 1), 16)        # bf16 native sublane tile
+    # tile-shape experiment knobs (scripts/exp_sad_tiles.py sweeps these
+    # on the real chip; production defaults below are the sweep winners)
+    import os
+    env = os.environ.get
+    TM = int(env("MICROSCOPIQ_SAD_TM", 0)) or _round_up(max(M, 1), 16)
+    # x rides in bf16 (16-sublane min tile) at TM>=16; a TM=8 tile needs
+    # the f32 8-sublane minimum — M is tiny either way, the dot is
+    # DMA-shadowed
+    x2 = x2.astype(jnp.bfloat16 if TM >= 16 else jnp.float32)
     # prefer a TN that DIVIDES N: a ragged edge means jnp.pad — a full
     # copy of the codes on every call (the lm_head's N=128256 cost
     # 1.6 ms/step of pure pad-copies before this)
-    TN = next((t for t in (1024, 896, 768, 640, 512, 384, 256, 128)
-               if N % t == 0), None)
+    TN = int(env("MICROSCOPIQ_SAD_TN", 0)) or next(
+        (t for t in (1024, 896, 768, 640, 512, 384, 256, 128)
+         if N % t == 0), None)
     if TN is None:
         TN = 1024 if N >= 1024 else _round_up(N, 128)
-    TK = max(4 * B, 1024)
+    TK = int(env("MICROSCOPIQ_SAD_TK", 0)) or max(4 * B, 1024)
     while TK > Kp and TK > B:
         TK //= 2
     TK = max(TK, B)

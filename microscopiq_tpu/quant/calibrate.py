@@ -72,6 +72,8 @@ def sequential_gptq(
     blocksize: int = 128,
     percdamp: float = 0.01,
     actorder: bool = False,
+    groupsize: int = -1,
+    static_groups: bool = False,
     mode: str = "mx_prune",
     verbose: bool = True,
     collect_decisions: bool = False,
@@ -128,7 +130,9 @@ def sequential_gptq(
             for p in present:
                 Q, _ = gptqs[p].fasterquant(
                     blocksize=blocksize, percdamp=percdamp,
-                    actorder=actorder, collect_decisions=collect_decisions)
+                    actorder=actorder, groupsize=groupsize,
+                    static_groups=static_groups,
+                    collect_decisions=collect_decisions)
                 _get(params_i, p)["kernel"] = Q.T  # back to (in, out)
                 if collect_decisions:
                     dec_i[p] = gptqs[p].decisions
@@ -163,6 +167,7 @@ def gptq_quantize_model(kind: str, cfg, params, calib_ids: jax.Array,
                         quantizer: Optional[MXQuantizer] = None,
                         mode: str = "mx_prune", blocksize: int = 128,
                         percdamp: float = 0.01, actorder: bool = False,
+                        groupsize: int = -1, static_groups: bool = False,
                         nsamples_batch: int = 8, verbose: bool = True,
                         groups: Optional[Sequence[Sequence[str]]] = None,
                         collect_decisions: bool = False):
@@ -212,7 +217,8 @@ def gptq_quantize_model(kind: str, cfg, params, calib_ids: jax.Array,
     new_layers, _, layer_decisions = sequential_gptq(
         layer_module, layer_params, hidden, extra_fn, quantizer,
         groups=groups, nsamples_batch=nsamples_batch, blocksize=blocksize,
-        percdamp=percdamp, actorder=actorder, mode=mode, verbose=verbose,
+        percdamp=percdamp, actorder=actorder, groupsize=groupsize,
+        static_groups=static_groups, mode=mode, verbose=verbose,
         collect_decisions=collect_decisions)
     for i, lp in enumerate(new_layers):
         tree[f"layers_{i}"] = lp

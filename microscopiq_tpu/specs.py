@@ -105,6 +105,14 @@ class MxSpecs:
 
     use_pallas: bool = False
 
+    # Axis the *input* activation is MX-quantized along in the linear
+    # forward. None = the contraction axis (-1), this framework's fixed
+    # semantics. The reference hard-codes axes=[1]
+    # (number_system/mx/linear.py:66-73), which on 3D (B, S, D) inputs
+    # is the SEQUENCE axis — set a_axes=1 to replicate that behavior
+    # bit-for-bit in differential parity runs (scripts/parity_ref.py).
+    a_axes: Optional[int] = None
+
     # ---- dict-style access so ops can take spec dicts or dataclasses ----
     def __getitem__(self, key: str):
         return getattr(self, key)

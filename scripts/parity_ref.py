@@ -1,25 +1,48 @@
 """Model-scale accuracy-parity harness vs the reference torch pipeline.
 
-The north-star check (BASELINE.md / VERDICT round-1 item 1): construct one
-small OPT, give BOTH stacks the SAME weights + the SAME calibration and
-eval token streams, run
+The north-star check (BASELINE.md / VERDICT items r1-1, r2-6): construct
+small OPT and Llama models, give BOTH stacks the SAME weights + the SAME
+calibration and eval token streams, run
 
-  * the reference pipeline: ``opt_sequential`` + ``opt_eval``
-    (/root/reference/llm/opt.py:25-252, llm/gptq.py:60-184) on torch CPU,
-  * this repo's pipeline: ``gptq_quantize_model`` + ``perplexity``,
+  * the reference pipeline: ``opt_sequential``/``llama_sequential`` +
+    ``opt_eval``/``llama_eval`` (/root/reference/llm/opt.py:25-252,
+    llm/llama.py:61-285, llm/gptq.py:60-184) and the direct-MX
+    activation-quant path (``quantize_model`` + eval,
+    llm/opt_direct.py:97-130) on torch CPU,
+  * this repo's pipeline: ``gptq_quantize_model`` + ``perplexity`` and
+    the mx-specs fake-quant forward,
 
-in the canonical int2+fp4/block-16 config (llm/opt.py:87-94) and the
-MX-FP6 RTN config (weights-only `_quantize_mx`, block 32), and record both
-perplexities per config. Done = |Δppl| ≤ 0.1.
+across the config grid below and record both perplexities per config.
+Done = |Δppl| ≤ 0.1 per config (PARITY_r03.json).
+
+Configs (VERDICT r2 item 6: ≥6, incl. groupsize>0, act-order, static
+groups, activation quant, Llama arch):
+  dense                              OPT fp32 baseline
+  gptq_int2_fp4_block16              canonical (llm/opt.py:87-94)
+  gptq_int2_fp4_block16_actorder     + --act-order (gptq.py:89-93)
+  gptq_int2_fp4_g128_static          + --groupsize 128 --static-groups
+                                     (gptq.py:81-87; NOTE: MXQuantizer's
+                                     find_params is stateless, so this
+                                     must equal the canonical config
+                                     bit-for-bit on BOTH stacks — the
+                                     parity is of the no-op semantics)
+  rtn_mxfp6_block32                  weights-only _quantize_mx RTN
+  actquant_fp4w_int4a_block128       opt_direct.py activation quant
+                                     (MXLinear forward, incl. the
+                                     reference's 3D axes=[1] behavior —
+                                     replicated via specs a_axes=1)
+  llama_dense                        Llama-arch (GQA) fp32 baseline
+  llama_gptq_int2_fp4_block16        llama_sequential canonical
 
 Stages (run as separate processes — the TPU tunnel tolerates ONE process):
-  python scripts/parity_ref.py prepare    # train a small OPT (TPU ok)
-  python scripts/parity_ref.py reference  # torch-CPU reference pipeline
-  python scripts/parity_ref.py ours       # JAX-CPU our pipeline
-  python scripts/parity_ref.py report     # merge -> PARITY_r02.json
+  python scripts/parity_ref.py prepare    # train small OPT+Llama (TPU ok)
+  python scripts/parity_ref.py reference [--only a,b]  # torch-CPU ref
+  python scripts/parity_ref.py ours      [--only a,b]  # JAX-CPU ours
+  python scripts/parity_ref.py report     # merge -> PARITY_r03.json
 
-Artifacts live in parity/ (gitignored, ~80 MB); only the report is
-committed.
+Artifacts live in parity/ (gitignored, ~200 MB); only the report is
+committed. Results json files are written incrementally, so stages can
+be re-run with --only to fill in missing configs.
 """
 
 from __future__ import annotations
@@ -38,24 +61,24 @@ REF = "/root/reference"
 ART = os.path.join(REPO, "parity")
 sys.path.insert(0, REPO)
 
-# small-OPT geometry: 125M-style block shape, fewer layers, small vocab so
-# the model trains to structure in minutes on one chip. When only the CPU
-# is reachable, prepare falls back to the smaller geometry; the chosen one
-# is persisted in parity/config.json and read back by later stages.
-MODEL_TPU = dict(vocab_size=4096, hidden_size=512, ffn_dim=2048,
-                 num_hidden_layers=6, num_attention_heads=8,
+# VERDICT r2 item 6: ≥12 layers, hidden ≥512. 125M-style block shape,
+# small vocab so the models train to structure in minutes on one chip.
+MODEL_OPT = dict(vocab_size=4096, hidden_size=512, ffn_dim=2048,
+                 num_hidden_layers=12, num_attention_heads=8,
                  max_position_embeddings=512)
-MODEL_CPU = dict(vocab_size=4096, hidden_size=256, ffn_dim=1024,
-                 num_hidden_layers=6, num_attention_heads=8,
-                 max_position_embeddings=512)
+MODEL_LLAMA = dict(vocab_size=4096, hidden_size=512,
+                   intermediate_size=1536, num_hidden_layers=12,
+                   num_attention_heads=8, num_key_value_heads=4,
+                   max_position_embeddings=512, rms_norm_eps=1e-5,
+                   rope_theta=10000.0)
 SEQLEN = 256
 NSAMPLES = 16          # calibration crops (reference default 128; scaled)
 EVAL_WINDOWS = 32
-TRAIN_STEPS = 800
+TRAIN_STEPS = 800      # per model on TPU; //4 on CPU fallback
 TRAIN_BATCH = 16
 
 
-def load_model_cfg() -> dict:
+def load_cfgs() -> dict:
     with open(os.path.join(ART, "config.json")) as f:
         return json.load(f)
 
@@ -65,6 +88,23 @@ GPTQ_CFG = dict(inlier="int2", outlier="fp4_e2m1", scale_bits=8,
 # MX-FP6 serving config (examples/run_mx_fp6.sh elem format, serving
 # block 32 / scale 8 as benched)
 FP6_CFG = dict(fmt="fp6_e3m2", scale_bits=8, block_size=32)
+# direct activation-quant config (llm/opt_direct.py:97-106)
+ACT_CFG = dict(w_elem_format="fp4", a_elem_format="int4", block_size=128,
+               quantize_backprop=False)
+
+# GPTQ knob variants (VERDICT r2 item 6)
+GPTQ_VARIANTS = {
+    "gptq_int2_fp4_block16": dict(groupsize=-1, act_order=False,
+                                  static_groups=False),
+    "gptq_int2_fp4_block16_actorder": dict(groupsize=-1, act_order=True,
+                                           static_groups=False),
+    "gptq_int2_fp4_g128_static": dict(groupsize=128, act_order=False,
+                                      static_groups=True),
+}
+
+ALL_CONFIGS = ("dense", *GPTQ_VARIANTS, "rtn_mxfp6_block32",
+               "actquant_fp4w_int4a_block128", "llama_dense",
+               "llama_gptq_int2_fp4_block16")
 
 
 def markov_stream(n_tokens: int, vocab: int, seed: int = 7,
@@ -85,10 +125,9 @@ def markov_stream(n_tokens: int, vocab: int, seed: int = 7,
     return out
 
 
-def make_tokens(model_cfg):
+def make_tokens(vocab: int):
     """Train / calib / eval splits from one seeded Markov stream."""
-    V = model_cfg["vocab_size"]
-    stream = markov_stream(2_200_000, V, seed=7)
+    stream = markov_stream(2_200_000, vocab, seed=7)
     train = stream[:2_000_000]
     rng = np.random.default_rng(0)  # reference seeds crops (data_utils.py)
     tail = stream[2_000_000:]
@@ -98,32 +137,25 @@ def make_tokens(model_cfg):
     return train, calib, eval_ids
 
 
+def _merge_results(path: str, update: dict):
+    cur = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            cur = json.load(f)
+    cur.update(update)
+    with open(path, "w") as f:
+        json.dump(cur, f, indent=1)
+    return cur
+
+
 # ---------------------------------------------------------------------------
-# stage: prepare — train the flax OPT, export HF-named weights
+# stage: prepare — train flax OPT + Llama, export HF-named weights
 # ---------------------------------------------------------------------------
-def stage_prepare():
+def _train_lm(model, params, train, steps, seed=1):
     import jax
     import jax.numpy as jnp
     import optax
-
-    from microscopiq_tpu.models import OPTConfig, OPTForCausalLM
-    from microscopiq_tpu.models.loading import export_opt_state_dict
-
-    os.makedirs(ART, exist_ok=True)
-    on_tpu = jax.default_backend() not in ("cpu",)
-    model_cfg = MODEL_TPU if on_tpu else MODEL_CPU
-    steps = TRAIN_STEPS if on_tpu else TRAIN_STEPS // 2
-    print(f"backend={jax.default_backend()} model={model_cfg} "
-          f"steps={steps}", flush=True)
-    with open(os.path.join(ART, "config.json"), "w") as f:
-        json.dump(model_cfg, f)
-    train, calib, eval_ids = make_tokens(model_cfg)
-    np.savez(os.path.join(ART, "tokens.npz"), calib=calib, eval=eval_ids)
-
-    cfg = OPTConfig(**model_cfg)
-    model = OPTForCausalLM(cfg, use_pallas=False)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, SEQLEN), jnp.int32))
+    import time
 
     tx = optax.adamw(optax.cosine_decay_schedule(1e-3, steps, 0.1),
                      weight_decay=0.01)
@@ -140,34 +172,69 @@ def stage_prepare():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(seed)
     n_crops = len(train) // SEQLEN
-    import time
     t0 = time.time()
     for i in range(steps):
         idx = rng.integers(0, n_crops, TRAIN_BATCH)
         ids = jnp.asarray(np.stack(
             [train[j * SEQLEN:(j + 1) * SEQLEN] for j in idx]))
         params, opt_state, loss = step(params, opt_state, ids)
-        if i % 50 == 0 or i == steps - 1:
-            print(f"step {i}: loss {float(loss):.4f} "
+        if i % 100 == 0 or i == steps - 1:
+            print(f"  step {i}: loss {float(loss):.4f} "
                   f"(ppl {float(np.exp(loss)):.1f}) "
                   f"[{time.time() - t0:.0f}s]", flush=True)
+    return params
 
-    state = export_opt_state_dict(jax.device_get(params), cfg)
-    np.savez(os.path.join(ART, "weights.npz"), **state)
-    print("saved", os.path.join(ART, "weights.npz"))
+
+def stage_prepare():
+    import jax
+    import jax.numpy as jnp
+
+    from microscopiq_tpu.models import (LlamaConfig, LlamaForCausalLM,
+                                        OPTConfig, OPTForCausalLM)
+    from microscopiq_tpu.models.loading import (export_llama_state_dict,
+                                                export_opt_state_dict)
+
+    os.makedirs(ART, exist_ok=True)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    steps = TRAIN_STEPS if on_tpu else TRAIN_STEPS // 4
+    print(f"backend={jax.default_backend()} steps={steps}", flush=True)
+    with open(os.path.join(ART, "config.json"), "w") as f:
+        json.dump({"opt": MODEL_OPT, "llama": MODEL_LLAMA}, f)
+    train, calib, eval_ids = make_tokens(MODEL_OPT["vocab_size"])
+    np.savez(os.path.join(ART, "tokens.npz"), calib=calib, eval=eval_ids)
+
+    print("training OPT", MODEL_OPT, flush=True)
+    ocfg = OPTConfig(**MODEL_OPT)
+    omodel = OPTForCausalLM(ocfg, use_pallas=False)
+    oparams = omodel.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, SEQLEN), jnp.int32))
+    oparams = _train_lm(omodel, oparams, train, steps, seed=1)
+    np.savez(os.path.join(ART, "weights_opt.npz"),
+             **export_opt_state_dict(jax.device_get(oparams), ocfg))
+    del oparams
+
+    print("training Llama", MODEL_LLAMA, flush=True)
+    lcfg = LlamaConfig(**MODEL_LLAMA)
+    lmodel = LlamaForCausalLM(lcfg, use_pallas=False)
+    lparams = lmodel.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, SEQLEN), jnp.int32))
+    lparams = _train_lm(lmodel, lparams, train, steps, seed=2)
+    np.savez(os.path.join(ART, "weights_llama.npz"),
+             **export_llama_state_dict(jax.device_get(lparams), lcfg))
+    print("saved", ART)
 
 
 # ---------------------------------------------------------------------------
 # stage: reference — torch CPU, /root/reference pipeline verbatim
 # ---------------------------------------------------------------------------
-def _load_hf_model():
+def _load_hf_opt():
     import torch
     from transformers import OPTConfig as HFOPTConfig
     from transformers import OPTForCausalLM as HFOPT
 
-    MODEL = load_model_cfg()
+    MODEL = load_cfgs()["opt"]
     cfg = HFOPTConfig(
         vocab_size=MODEL["vocab_size"], hidden_size=MODEL["hidden_size"],
         ffn_dim=MODEL["ffn_dim"],
@@ -178,7 +245,7 @@ def _load_hf_model():
         dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
         attn_implementation="eager")
     m = HFOPT(cfg)
-    state = np.load(os.path.join(ART, "weights.npz"))
+    state = np.load(os.path.join(ART, "weights_opt.npz"))
     sd = {k: torch.from_numpy(state[k]) for k in state.files}
     missing, unexpected = m.load_state_dict(sd, strict=False)
     assert not unexpected, unexpected
@@ -188,7 +255,69 @@ def _load_hf_model():
     return m
 
 
-def _ref_eval_ppl(opt_mod, model, eval_ids):
+_ROTARY = []  # current HF Llama rotary_emb, for the 4.5x replay shim
+
+
+def _load_hf_llama():
+    import torch
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM as HFLlama
+
+    M = load_cfgs()["llama"]
+    cfg = HFLlamaConfig(
+        vocab_size=M["vocab_size"], hidden_size=M["hidden_size"],
+        intermediate_size=M["intermediate_size"],
+        num_hidden_layers=M["num_hidden_layers"],
+        num_attention_heads=M["num_attention_heads"],
+        num_key_value_heads=M["num_key_value_heads"],
+        max_position_embeddings=M["max_position_embeddings"],
+        rms_norm_eps=M["rms_norm_eps"], rope_theta=M["rope_theta"],
+        attention_dropout=0.0, tie_word_embeddings=False,
+        attn_implementation="eager", use_cache=False)
+    m = HFLlama(cfg)
+    state = np.load(os.path.join(ART, "weights_llama.npz"))
+    sd = {k: torch.from_numpy(state[k]) for k in state.files}
+    missing, unexpected = m.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    assert all("rotary" in k for k in missing), missing
+    m = m.float().eval()
+    m.seqlen = SEQLEN
+
+    # Compat shim for the reference's layer replay: llama_sequential /
+    # llama_eval (llm/llama.py:148,176,257) call
+    # layer(x, attention_mask=..., position_ids=...) — the vendored-era
+    # transformers API. Installed transformers 4.5x requires
+    # position_embeddings (no recompute fallback), so restore the
+    # reference's intended semantics by computing them from position_ids
+    # with the model's own rotary_emb.
+    import transformers.models.llama.modeling_llama as ml
+    _ROTARY[:] = [m.model.rotary_emb]
+    if not getattr(ml.LlamaDecoderLayer, "_parity_shim", False):
+        orig = ml.LlamaDecoderLayer.forward
+
+        def fwd(self, hidden_states, attention_mask=None,
+                position_ids=None, position_embeddings=None, **kw):
+            if position_embeddings is None:
+                position_embeddings = _ROTARY[0](hidden_states,
+                                                 position_ids)
+            return orig(self, hidden_states,
+                        attention_mask=attention_mask,
+                        position_ids=position_ids,
+                        position_embeddings=position_embeddings, **kw)
+
+        ml.LlamaDecoderLayer.forward = fwd
+        ml.LlamaDecoderLayer._parity_shim = True
+    return m
+
+
+def _scrape_ppl(buf: io.StringIO) -> float:
+    floats = [l for l in buf.getvalue().splitlines()
+              if re.fullmatch(r"[0-9]+\.[0-9]+(e[+-]?\d+)?", l.strip())]
+    assert floats, buf.getvalue()[-2000:]
+    return float(floats[-1])
+
+
+def _ref_eval_ppl_opt(opt_mod, model, eval_ids):
     """Run reference opt_eval and scrape the printed perplexity."""
     import torch
 
@@ -213,172 +342,286 @@ def _ref_eval_ppl(opt_mod, model, eval_ids):
     with redirect_stdout(buf):
         opt_mod.opt_eval(model, enc, torch.device("cpu"))
     object.__delattr__(dec.layers, "final_layer_norm")
-    floats = [l for l in buf.getvalue().splitlines()
-              if re.fullmatch(r"[0-9]+\.[0-9]+(e[+-]?\d+)?", l.strip())]
-    assert floats, buf.getvalue()[-2000:]
-    return float(floats[-1])
+    return _scrape_ppl(buf)
 
 
-def stage_reference():
+def _ref_eval_ppl_llama(llama_mod, model, eval_ids):
+    import torch
+
+    class Enc:
+        pass
+
+    enc = Enc()
+    enc.input_ids = torch.from_numpy(
+        np.asarray(eval_ids[None, :], np.int64))
+    buf = io.StringIO()
+    from contextlib import redirect_stdout
+    with redirect_stdout(buf):
+        llama_mod.llama_eval(model, enc, torch.device("cpu"))
+    return _scrape_ppl(buf)
+
+
+def stage_reference(only=None):
     import torch
     from types import SimpleNamespace
+    from contextlib import redirect_stdout
 
     for p in (REF, os.path.join(REF, "llm"),
               os.path.join(REF, "number_system")):
         sys.path.insert(0, p)
-    import opt as ref_opt  # /root/reference/llm/opt.py
+    import opt as ref_opt        # /root/reference/llm/opt.py
+    import llama as ref_llama    # /root/reference/llm/llama.py
+    import gptq as ref_gptq
 
     if not torch.cuda.is_available():
         # fasterquant unconditionally calls cuda.synchronize (gptq.py:173)
         torch.cuda.synchronize = lambda *a, **k: None
 
-    args = SimpleNamespace(nsamples=NSAMPLES, percdamp=GPTQ_CFG["percdamp"],
-                           groupsize=-1, act_order=False,
-                           static_groups=False, nearest=False, use_mx=True)
-    ref_opt.args = args
-    import gptq as ref_gptq
-    ref_gptq.args = args
+    def set_args(**kw):
+        base = dict(nsamples=NSAMPLES, percdamp=GPTQ_CFG["percdamp"],
+                    groupsize=-1, act_order=False, static_groups=False,
+                    nearest=False, use_mx=True, true_sequential=False)
+        base.update(kw)
+        args = SimpleNamespace(**base)
+        ref_opt.args = args
+        ref_llama.args = args
+        ref_gptq.args = args
+        return args
 
     tok = np.load(os.path.join(ART, "tokens.npz"))
     calib, eval_ids = tok["calib"], tok["eval"]
     loader = [(torch.from_numpy(np.asarray(c[None, :], np.int64)), None)
               for c in calib]
     dev = torch.device("cpu")
-    results = {}
+    res_path = os.path.join(ART, "ref_results.json")
+    todo = set(only or ALL_CONFIGS)
 
-    # dense baseline
-    model = _load_hf_model()
-    results["dense_ppl"] = _ref_eval_ppl(ref_opt, model, eval_ids)
-    print("ref dense ppl:", results["dense_ppl"], flush=True)
+    import time as _time
 
-    # canonical GPTQ int2+fp4 block16 (opt_sequential verbatim)
-    model = _load_hf_model()
-    buf = io.StringIO()
-    from contextlib import redirect_stdout
-    with redirect_stdout(buf):
-        ref_opt.opt_sequential(model, loader, dev)
-    results["gptq_int2fp4_ppl"] = _ref_eval_ppl(ref_opt, model, eval_ids)
-    print("ref gptq int2+fp4 ppl:", results["gptq_int2fp4_ppl"], flush=True)
+    def run(name, fn):
+        if name not in todo:
+            return
+        t0 = _time.time()
+        set_args()
+        val = fn()
+        _merge_results(res_path, {name: val})
+        print(f"ref {name}: {val} [{_time.time() - t0:.0f}s]", flush=True)
 
-    # MX-FP6 RTN: weights-only _quantize_mx on every decoder linear.
-    # axes=[0] on torch (out, in) == our kernel's out axis (quantize_params
-    # axes=[-1] on (in, out)) — the reference MXQuantizer block convention
-    # (llm/opt.py:87-94 axes=[0]).
-    from mx.mx_ops import _quantize_mx
-    from utils.modelutils import find_layers
-    model = _load_hf_model()
-    for layer in model.model.decoder.layers:
-        for name, lin in find_layers(layer).items():
-            W = lin.weight.data.float()
-            lin.weight.data = _quantize_mx(
-                W, FP6_CFG["scale_bits"], FP6_CFG["fmt"], "max", [0],
-                FP6_CFG["block_size"], "nearest", False, False)
-    results["rtn_fp6_ppl"] = _ref_eval_ppl(ref_opt, model, eval_ids)
-    print("ref fp6 rtn ppl:", results["rtn_fp6_ppl"], flush=True)
+    # ---- OPT dense ----
+    run("dense", lambda: _ref_eval_ppl_opt(ref_opt, _load_hf_opt(),
+                                           eval_ids))
 
-    with open(os.path.join(ART, "ref_results.json"), "w") as f:
-        json.dump(results, f, indent=1)
-    print(json.dumps(results))
+    # ---- OPT GPTQ variants (opt_sequential verbatim) ----
+    for name, knobs in GPTQ_VARIANTS.items():
+        if name not in todo:
+            continue
+        t0 = _time.time()
+        set_args(groupsize=knobs["groupsize"],
+                 act_order=knobs["act_order"],
+                 static_groups=knobs["static_groups"])
+        model = _load_hf_opt()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            ref_opt.opt_sequential(model, loader, dev)
+        val = _ref_eval_ppl_opt(ref_opt, model, eval_ids)
+        _merge_results(res_path, {name: val})
+        print(f"ref {name}: {val} [{_time.time() - t0:.0f}s]", flush=True)
+
+    # ---- OPT MX-FP6 RTN: weights-only _quantize_mx on decoder linears.
+    # axes=[0] on torch (out, in) == our kernel's out axis (the reference
+    # MXQuantizer block convention, llm/opt.py:87-94 axes=[0]).
+    def rtn():
+        from mx.mx_ops import _quantize_mx
+        from utils.modelutils import find_layers
+        model = _load_hf_opt()
+        for layer in model.model.decoder.layers:
+            for name, lin in find_layers(layer).items():
+                W = lin.weight.data.float()
+                lin.weight.data = _quantize_mx(
+                    W, FP6_CFG["scale_bits"], FP6_CFG["fmt"], "max", [0],
+                    FP6_CFG["block_size"], "nearest", False, False)
+        return _ref_eval_ppl_opt(ref_opt, model, eval_ids)
+
+    run("rtn_mxfp6_block32", rtn)
+
+    # ---- OPT direct activation quant (llm/opt_direct.py:97-130):
+    # quantize_model swaps every nn.Linear (except lm_head) for MXLinear;
+    # activations MX-quantized in the forward with a_elem_format.
+    def actquant():
+        from mx import finalize_mx_specs as ref_finalize
+        from utils.quant_model import quantize_model
+        specs = ref_finalize(dict(ACT_CFG, custom_cuda=False))
+        model = _load_hf_opt()
+        buf = io.StringIO()
+        with redirect_stdout(buf):   # quantize_model prints per linear
+            q_model = quantize_model(model, specs)
+        q_model.seqlen = SEQLEN
+        return _ref_eval_ppl_opt(ref_opt, q_model, eval_ids)
+
+    run("actquant_fp4w_int4a_block128", actquant)
+
+    # ---- Llama dense + GPTQ (llama_sequential verbatim) ----
+    run("llama_dense", lambda: _ref_eval_ppl_llama(
+        ref_llama, _load_hf_llama(), eval_ids))
+
+    if "llama_gptq_int2_fp4_block16" in todo:
+        t0 = _time.time()
+        set_args()
+        model = _load_hf_llama()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            ref_llama.llama_sequential(model, loader, dev)
+        val = _ref_eval_ppl_llama(ref_llama, model, eval_ids)
+        _merge_results(res_path, {"llama_gptq_int2_fp4_block16": val})
+        print(f"ref llama_gptq_int2_fp4_block16: {val} "
+              f"[{_time.time() - t0:.0f}s]", flush=True)
+
+    with open(res_path) as f:
+        print(json.dumps(json.load(f)))
 
 
 # ---------------------------------------------------------------------------
 # stage: ours — JAX CPU, this repo's pipeline
 # ---------------------------------------------------------------------------
-def stage_ours():
+def stage_ours(only=None):
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+    import time as _time
 
     from microscopiq_tpu.eval import perplexity
-    from microscopiq_tpu.models import OPTConfig, OPTForCausalLM
-    from microscopiq_tpu.models.loading import convert_opt
+    from microscopiq_tpu.models import (LlamaConfig, LlamaForCausalLM,
+                                        OPTConfig, OPTForCausalLM)
+    from microscopiq_tpu.models.loading import convert_llama, convert_opt
     from microscopiq_tpu.nn import pack_params, quantize_params
     from microscopiq_tpu.quant import MXQuantizer
     from microscopiq_tpu.quant.calibrate import gptq_quantize_model
     from microscopiq_tpu.specs import finalize_mx_specs
 
-    cfg = OPTConfig(**load_model_cfg())
-    model = OPTForCausalLM(cfg, use_pallas=False)
-    state = dict(np.load(os.path.join(ART, "weights.npz")))
-    params = convert_opt(state, cfg)
+    cfgs = load_cfgs()
+    ocfg = OPTConfig(**cfgs["opt"])
+    omodel = OPTForCausalLM(ocfg, use_pallas=False)
+    oparams = convert_opt(dict(np.load(os.path.join(
+        ART, "weights_opt.npz"))), ocfg)
     tok = np.load(os.path.join(ART, "tokens.npz"))
     calib, eval_ids = jnp.asarray(tok["calib"]), tok["eval"]
-    apply_fn = lambda p, ids: model.apply(p, ids)
-    ppl = lambda p: perplexity(apply_fn, p, eval_ids, seqlen=SEQLEN,
-                               batch=4)
-    results = {}
+    oppl = lambda p, m=omodel: perplexity(
+        lambda pp, ids: m.apply(pp, ids), p, eval_ids, seqlen=SEQLEN,
+        batch=4)
+    res_path = os.path.join(ART, "our_results.json")
+    todo = set(only or ALL_CONFIGS)
 
-    results["dense_ppl"] = ppl(params)
-    print("ours dense ppl:", results["dense_ppl"], flush=True)
+    def record(name, val):
+        _merge_results(res_path, {name: val})
+        print(f"ours {name}: {val}", flush=True)
 
-    qz = MXQuantizer()
-    qz.configure(GPTQ_CFG["scale_bits"], GPTQ_CFG["scale_bits"],
-                 GPTQ_CFG["inlier"], GPTQ_CFG["outlier"],
-                 std_dev=GPTQ_CFG["std_dev"], axes=[0],
-                 block_size=GPTQ_CFG["block_size"])
+    if "dense" in todo:
+        record("dense", oppl(oparams))
+
+    def make_quantizer():
+        qz = MXQuantizer()
+        qz.configure(GPTQ_CFG["scale_bits"], GPTQ_CFG["scale_bits"],
+                     GPTQ_CFG["inlier"], GPTQ_CFG["outlier"],
+                     std_dev=GPTQ_CFG["std_dev"], axes=[0],
+                     block_size=GPTQ_CFG["block_size"])
+        return qz
+
     # single group = the reference OPT driver's one-pass capture
-    all_paths = [["self_attn/q_proj", "self_attn/k_proj",
+    opt_group = [["self_attn/q_proj", "self_attn/k_proj",
                   "self_attn/v_proj", "self_attn/out_proj", "fc1", "fc2"]]
-    gptq_params = gptq_quantize_model(
-        "opt", cfg, params, calib, quantizer=qz,
-        blocksize=GPTQ_CFG["blocksize"], percdamp=GPTQ_CFG["percdamp"],
-        groups=all_paths, verbose=True)
-    results["gptq_int2fp4_ppl"] = ppl(gptq_params)
-    print("ours gptq int2+fp4 ppl:", results["gptq_int2fp4_ppl"],
-          flush=True)
+    for name, knobs in GPTQ_VARIANTS.items():
+        if name not in todo:
+            continue
+        t0 = _time.time()
+        gptq_params = gptq_quantize_model(
+            "opt", ocfg, oparams, calib, quantizer=make_quantizer(),
+            blocksize=GPTQ_CFG["blocksize"],
+            percdamp=GPTQ_CFG["percdamp"],
+            actorder=knobs["act_order"], groupsize=knobs["groupsize"],
+            static_groups=knobs["static_groups"], groups=opt_group,
+            verbose=False)
+        record(name, oppl(gptq_params))
+        print(f"  [{_time.time() - t0:.0f}s]", flush=True)
+        if name == "gptq_int2_fp4_block16":
+            # packed serving tree must track its fake-quant twin
+            specs_o = finalize_mx_specs({
+                "w_elem_format": GPTQ_CFG["inlier"],
+                "w_outlier_elem_format": GPTQ_CFG["outlier"],
+                "scale_bits": GPTQ_CFG["scale_bits"],
+                "block_size": GPTQ_CFG["block_size"], "bfloat": 16})
+            packed = pack_params(gptq_params["params"], specs_o,
+                                 skip=("embed_tokens", "embed_positions",
+                                       "lm_head"), outlier_budget=4)
+            record(name + "_packed", oppl({"params": packed}))
 
-    specs_o = finalize_mx_specs({
-        "w_elem_format": GPTQ_CFG["inlier"],
-        "w_outlier_elem_format": GPTQ_CFG["outlier"],
-        "scale_bits": GPTQ_CFG["scale_bits"],
-        "block_size": GPTQ_CFG["block_size"], "bfloat": 16})
-    packed = pack_params(gptq_params["params"], specs_o,
-                         skip=("embed_tokens", "embed_positions",
-                               "lm_head"), outlier_budget=4)
-    results["gptq_int2fp4_packed_ppl"] = ppl({"params": packed})
-    print("ours gptq packed ppl:", results["gptq_int2fp4_packed_ppl"],
-          flush=True)
+    if "rtn_mxfp6_block32" in todo:
+        specs6 = finalize_mx_specs({
+            "w_elem_format": FP6_CFG["fmt"],
+            "scale_bits": FP6_CFG["scale_bits"],
+            "block_size": FP6_CFG["block_size"], "bfloat": 16})
+        rtn_tree = quantize_params(oparams["params"], specs6,
+                                   skip=("embed_tokens",
+                                         "embed_positions"))
+        record("rtn_mxfp6_block32", oppl({"params": rtn_tree}))
+        packed6 = pack_params(rtn_tree, specs6,
+                              skip=("embed_tokens", "embed_positions",
+                                    "lm_head"))
+        record("rtn_mxfp6_block32_packed", oppl({"params": packed6}))
 
-    specs6 = finalize_mx_specs({
-        "w_elem_format": FP6_CFG["fmt"], "scale_bits":
-        FP6_CFG["scale_bits"], "block_size": FP6_CFG["block_size"],
-        "bfloat": 16})
-    rtn_tree = quantize_params(params["params"], specs6,
-                               skip=("embed_tokens", "embed_positions"))
-    results["rtn_fp6_ppl"] = ppl({"params": rtn_tree})
-    print("ours fp6 rtn ppl:", results["rtn_fp6_ppl"], flush=True)
+    if "actquant_fp4w_int4a_block128" in todo:
+        # a_axes=1 replicates the reference MXLinear's axes=[1] on 3D
+        # inputs (the sequence axis — see nn/linear.py module docstring)
+        specs_a = finalize_mx_specs(dict(ACT_CFG, a_axes=1))
+        amodel = OPTForCausalLM(ocfg, mx_specs=specs_a, use_pallas=False,
+                                mx_linear_only=True)
+        record("actquant_fp4w_int4a_block128", oppl(oparams, m=amodel))
 
-    packed6 = pack_params(rtn_tree, specs6,
-                          skip=("embed_tokens", "embed_positions",
-                                "lm_head"))
-    results["rtn_fp6_packed_ppl"] = ppl({"params": packed6})
-    print("ours fp6 packed ppl:", results["rtn_fp6_packed_ppl"],
-          flush=True)
+    if todo & {"llama_dense", "llama_gptq_int2_fp4_block16"}:
+        lcfg = LlamaConfig(**cfgs["llama"])
+        lmodel = LlamaForCausalLM(lcfg, use_pallas=False)
+        lparams = convert_llama(dict(np.load(os.path.join(
+            ART, "weights_llama.npz"))), lcfg)
+        lppl = lambda p: perplexity(
+            lambda pp, ids: lmodel.apply(pp, ids), p, eval_ids,
+            seqlen=SEQLEN, batch=4)
+        if "llama_dense" in todo:
+            record("llama_dense", lppl(lparams))
+        if "llama_gptq_int2_fp4_block16" in todo:
+            t0 = _time.time()
+            # reference default: true_sequential=False → ONE group with
+            # every linear, captured in one unquantized pass
+            llama_group = [["self_attn/q_proj", "self_attn/k_proj",
+                            "self_attn/v_proj", "self_attn/o_proj",
+                            "mlp/gate_proj", "mlp/up_proj",
+                            "mlp/down_proj"]]
+            lq = gptq_quantize_model(
+                "llama", lcfg, lparams, calib,
+                quantizer=make_quantizer(),
+                blocksize=GPTQ_CFG["blocksize"],
+                percdamp=GPTQ_CFG["percdamp"], groups=llama_group,
+                verbose=False)
+            record("llama_gptq_int2_fp4_block16", lppl(lq))
+            print(f"  [{_time.time() - t0:.0f}s]", flush=True)
 
-    with open(os.path.join(ART, "our_results.json"), "w") as f:
-        json.dump(results, f, indent=1)
-    print(json.dumps(results))
+    with open(res_path) as f:
+        print(json.dumps(json.load(f)))
 
 
 def stage_report():
     ref = json.load(open(os.path.join(ART, "ref_results.json")))
     ours = json.load(open(os.path.join(ART, "our_results.json")))
     report = {
-        "model": load_model_cfg(), "seqlen": SEQLEN, "nsamples": NSAMPLES,
+        "model": load_cfgs(), "seqlen": SEQLEN, "nsamples": NSAMPLES,
         "eval_windows": EVAL_WINDOWS,
-        "configs": {
-            "dense": {"ref_ppl": ref["dense_ppl"],
-                      "our_ppl": ours["dense_ppl"]},
-            "gptq_int2_fp4_block16": {
-                "ref_ppl": ref["gptq_int2fp4_ppl"],
-                "our_ppl": ours["gptq_int2fp4_ppl"],
-                "our_packed_ppl": ours["gptq_int2fp4_packed_ppl"]},
-            "rtn_mxfp6_block32": {
-                "ref_ppl": ref["rtn_fp6_ppl"],
-                "our_ppl": ours["rtn_fp6_ppl"],
-                "our_packed_ppl": ours["rtn_fp6_packed_ppl"]},
-        },
+        "configs": {},
     }
+    for name in ALL_CONFIGS:
+        if name not in ref or name not in ours:
+            continue
+        c = {"ref_ppl": ref[name], "our_ppl": ours[name]}
+        if name + "_packed" in ours:
+            c["our_packed_ppl"] = ours[name + "_packed"]
+        report["configs"][name] = c
     ok = True
     for name, c in report["configs"].items():
         c["delta"] = round(c["our_ppl"] - c["ref_ppl"], 6)
@@ -386,21 +629,29 @@ def stage_report():
         ok = ok and c["pass"]
         print(f"{name}: ref {c['ref_ppl']:.4f} ours {c['our_ppl']:.4f} "
               f"delta {c['delta']:+.4f} {'PASS' if c['pass'] else 'FAIL'}")
-    report["pass"] = ok
-    out = os.path.join(REPO, "PARITY_r02.json")
+    report["pass"] = ok and len(report["configs"]) >= 6
+    out = os.path.join(REPO, "PARITY_r03.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
-    print("wrote", out, "PASS" if ok else "FAIL")
-    return 0 if ok else 1
+    print("wrote", out, "PASS" if report["pass"] else "FAIL")
+    return 0 if report["pass"] else 1
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("stage", choices=["prepare", "reference", "ours",
                                       "report"])
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated config subset")
     a = ap.parse_args()
-    return {"prepare": stage_prepare, "reference": stage_reference,
-            "ours": stage_ours, "report": stage_report}[a.stage]()
+    only = a.only.split(",") if a.only else None
+    if a.stage == "prepare":
+        return stage_prepare()
+    if a.stage == "reference":
+        return stage_reference(only)
+    if a.stage == "ours":
+        return stage_ours(only)
+    return stage_report()
 
 
 if __name__ == "__main__":
