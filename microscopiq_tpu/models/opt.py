@@ -94,9 +94,19 @@ class OPTLayer(fnn.Module):
                             name="final_layer_norm")
         attn = OPTAttention(cfg, self.mx_specs, self.use_pallas,
                             name="self_attn")
-        fc1 = QLinear(cfg.ffn_dim, self.mx_specs, True, cfg.dtype,
+        # HF's OPTDecoderLayer reshapes hidden states to 2D (B*S, H)
+        # before fc1/fc2 (modeling_opt.py), so the reference MXLinear's
+        # hard-coded axes=[1] lands on the HIDDEN axis there while the
+        # 3D attention projections quantize along the SEQUENCE axis.
+        # Replicate by clearing a_axes (None = contraction axis -1) for
+        # the FFN pair only.
+        ffn_specs = (self.mx_specs.replace(a_axes=None)
+                     if self.mx_specs is not None
+                     and self.mx_specs.get("a_axes") is not None
+                     else self.mx_specs)
+        fc1 = QLinear(cfg.ffn_dim, ffn_specs, True, cfg.dtype,
                       self.use_pallas, name="fc1")
-        fc2 = QLinear(cfg.hidden_size, self.mx_specs, True, cfg.dtype,
+        fc2 = QLinear(cfg.hidden_size, ffn_specs, True, cfg.dtype,
                       self.use_pallas, name="fc2")
 
         if cfg.do_layer_norm_before:

@@ -1,9 +1,17 @@
-"""Model-scale accuracy-parity gate (VERDICT round-1 item 1).
+"""Model-scale accuracy-parity gate (VERDICT round-1 item 1, scaled up
+round 3 per VERDICT r2 item 6).
 
 The parity harness (scripts/parity_ref.py) runs the SAME weights and the
 SAME calib/eval token streams through the reference torch pipeline
-(/root/reference/llm/opt.py:25-252 + llm/gptq.py:60-184) and this repo's
+(/root/reference/llm/opt.py:25-252 + llm/gptq.py:60-184 +
+llm/llama.py:113-173 + utils/quant_model.py swap) and this repo's
 (gptq_quantize_model + perplexity), and writes per-config perplexities.
+
+Round-3 report: 12-layer hidden-512 OPT *and* Llama (GQA) models, 8
+configs — dense, GPTQ int2+fp4/b16 (plain / act-order / g128+static
+groups), RTN MXFP6/b32, direct activation quant (fp4 w + int4 a,
+block 128, the reference MXLinear axes=[1] quirk incl. HF OPT's 2D
+fc1/fc2 reshape), Llama dense + Llama GPTQ.
 
 These tests assert the committed report — and, when the local parity/
 artifacts exist, the raw stage outputs — stay within the |delta ppl| <=
@@ -21,23 +29,49 @@ import os
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REPORT = os.path.join(REPO, "PARITY_r02.json")
 ART = os.path.join(REPO, "parity")
 
 GATE = 0.1
 
+R03_REQUIRED = {
+    "dense", "gptq_int2_fp4_block16", "gptq_int2_fp4_block16_actorder",
+    "gptq_int2_fp4_g128_static", "rtn_mxfp6_block32",
+    "actquant_fp4w_int4a_block128", "llama_dense",
+    "llama_gptq_int2_fp4_block16",
+}
 
-def test_committed_parity_report_passes():
-    with open(REPORT) as f:
+
+@pytest.mark.parametrize("report,required", [
+    ("PARITY_r02.json", {"dense", "gptq_int2_fp4_block16",
+                         "rtn_mxfp6_block32"}),
+    ("PARITY_r03.json", R03_REQUIRED),
+])
+def test_committed_parity_report_passes(report, required):
+    path = os.path.join(REPO, report)
+    with open(path) as f:
         rep = json.load(f)
     configs = rep["configs"]
-    assert {"dense", "gptq_int2_fp4_block16", "rtn_mxfp6_block32"} <= set(configs)
+    assert required <= set(configs)
+    assert rep["pass"]
     for name, c in configs.items():
         assert abs(c["ref_ppl"] - c["our_ppl"]) <= GATE, (name, c)
         assert c["pass"], (name, c)
         # the packed serving tree must track its fake-quant twin closely
         if "our_packed_ppl" in c:
             assert abs(c["our_packed_ppl"] - c["our_ppl"]) <= 0.05, (name, c)
+
+
+def test_r03_report_covers_required_knobs():
+    """act-order, static groups+groupsize, activation quant, and a
+    second architecture (Llama GQA) are each exercised (VERDICT r2
+    item 6's explicit list)."""
+    with open(os.path.join(REPO, "PARITY_r03.json")) as f:
+        rep = json.load(f)
+    assert len(rep["configs"]) >= 6
+    m = rep["model"]
+    assert m["opt"]["num_hidden_layers"] >= 12
+    assert m["opt"]["hidden_size"] >= 512
+    assert m["llama"]["num_key_value_heads"] < m["llama"]["num_attention_heads"]
 
 
 def test_local_parity_artifacts_agree():
@@ -49,10 +83,5 @@ def test_local_parity_artifacts_agree():
         ref = json.load(f)
     with open(our_p) as f:
         ours = json.load(f)
-    pairs = [
-        ("dense_ppl", "dense_ppl"),
-        ("gptq_int2fp4_ppl", "gptq_int2fp4_ppl"),
-        ("rtn_fp6_ppl", "rtn_fp6_ppl"),
-    ]
-    for rk, ok in pairs:
-        assert abs(ref[rk] - ours[ok]) <= GATE, (rk, ref[rk], ours[ok])
+    for key in set(ref) & set(ours):
+        assert abs(ref[key] - ours[key]) <= GATE, (key, ref[key], ours[key])
