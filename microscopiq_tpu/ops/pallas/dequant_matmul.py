@@ -428,16 +428,26 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
     # on the real chip; production defaults below are the sweep winners)
     import os
     env = os.environ.get
-    TM = int(env("MICROSCOPIQ_SAD_TM", 0)) or _round_up(max(M, 1), 16)
-    # x rides in bf16 (16-sublane min tile) at TM>=16; a TM=8 tile needs
-    # the f32 8-sublane minimum — M is tiny either way, the dot is
-    # DMA-shadowed
-    x2 = x2.astype(jnp.bfloat16 if TM >= 16 else jnp.float32)
+    # TM=8 (the f32 8-sublane minimum) halves the per-k-step VPU
+    # partial-scale work vs the bf16 16-sublane tile at decode M<=8:
+    # sweep tm8_tn2048_tk1024 = 715 GB/s of codes vs 615 at tm16_tn1024
+    # (scripts/exp_sad_tiles.py, v5e, (4096, 28672) M=8)
+    TM = int(env("MICROSCOPIQ_SAD_TM", 0)) or (
+        8 if M <= 8 else _round_up(M, 16))
+    if TM >= 16:
+        x2 = x2.astype(jnp.bfloat16)
+    else:
+        # the f32 8-sublane tile, but with x pre-rounded to bf16 values
+        # so the kernel stays numerically equal to the reference twin
+        # (which computes bf16-x dots) in both interpret and TPU modes
+        x2 = x2.astype(jnp.bfloat16).astype(jnp.float32)
     # prefer a TN that DIVIDES N: a ragged edge means jnp.pad — a full
     # copy of the codes on every call (the lm_head's N=128256 cost
-    # 1.6 ms/step of pure pad-copies before this)
+    # 1.6 ms/step of pure pad-copies before this). TN=2048 first: the
+    # wider N-burst against the (NB, rows, N) layout is the other half
+    # of the sweep win (644 -> 715 GB/s at TM=8)
     TN = int(env("MICROSCOPIQ_SAD_TN", 0)) or next(
-        (t for t in (1024, 896, 768, 640, 512, 384, 256, 128)
+        (t for t in (2048, 1024, 896, 768, 640, 512, 384, 256, 128)
          if N % t == 0), None)
     if TN is None:
         TN = 1024 if N >= 1024 else _round_up(N, 128)
