@@ -539,7 +539,12 @@ def dequant_matmul(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
         B = w.block_size
         Kp = NB * B
         lead = x.shape[:-1]
-        x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+        # x rides in bf16: the kernel dots in bf16 anyway, and an f32 x
+        # tile both doubled the dominant DMA (the x tile is re-fetched
+        # for every N-sweep) and re-ran the f32->bf16 convert per grid
+        # step (M*K*(N/TN) converts). Ablated on v5e: 3386 -> 2871 us at
+        # (4096, 28672) M=1024 (scripts/exp_prefill_pipe.py notes).
+        x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
         M = x2.shape[0]
 
         # the in-kernel decode re-runs once per M-tile sweep (w depends
@@ -550,6 +555,10 @@ def dequant_matmul(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
               512 if M >= 512 else (128 if M >= 128
                                     else _round_up(max(M, 1), 16)))
         TK = max(8 * B, 512)
+        # TN is capped by the 16 MB scoped-VMEM limit: the in-kernel
+        # decode materializes ~3 int32 temps of (TK, TN) on the stack,
+        # so TK*TN beyond 512*1024 OOMs the compile (measured: TN=2048
+        # fails with "scoped allocation 20.06M > 16.00M")
         TN = next((t for t in (1024, 768, 512, 384, 256, 128)
                    if N % t == 0), 128)
         Mp, Np, Kp2 = _round_up(M, TM), _round_up(N, TN), _round_up(Kp, TK)
