@@ -210,6 +210,19 @@ def main():
             del st2
             return dt
 
+        def timed_prefill():
+            # TTFT proxy: B x S0 prompt through the full model to the
+            # first sampled token (the reference measures per-token
+            # latency incl. the first, llm/opt.py:332-378)
+            st = make_state()
+            jax.block_until_ready(st)
+            t0 = time.perf_counter()
+            tok, st = prefill(params, ids, st)
+            jax.block_until_ready(tok)
+            dt = time.perf_counter() - t0
+            del st
+            return dt
+
         def release():
             # python GC is not enough through the PJRT plugin: free the
             # device buffers explicitly so the next phase gets clean HBM
@@ -217,7 +230,7 @@ def main():
                 if hasattr(leaf, "delete"):
                     leaf.delete()
 
-        return timed_decode, params, release
+        return timed_decode, timed_prefill, params, release
 
     phase = os.environ.get("MICROSCOPIQ_BENCH_PHASE")
     if phase is None:
@@ -225,39 +238,107 @@ def main():
         # plugin does not return freed HBM promptly enough for the full
         # 32L model and the two 12L ratio models to share one process
         # (three OOM variants later, subprocess isolation is the fix
-        # that actually holds).
+        # that actually holds). Each phase gets up to 3 attempts and a
+        # permanently-failed phase degrades the output instead of
+        # zeroing it: BENCH_r03.json came back EMPTY because one
+        # transient TPU FailedPrecondition in array setup killed the
+        # whole run (VERDICT r3 weak #2).
         import subprocess
         import sys
 
-        out = {}
+        out, errors = {}, {}
         for ph in ("full", "ratio"):
             env = dict(os.environ, MICROSCOPIQ_BENCH_PHASE=ph)
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env, capture_output=True, text=True)
-            if r.returncode != 0:
-                sys.stderr.write(r.stderr[-4000:])
-                raise SystemExit(f"bench phase {ph} failed")
-            out[ph] = json.loads(r.stdout.strip().splitlines()[-1])
-        f, rt = out["full"], out["ratio"]
-        step_s = f["step_s"]
-        fill = (S0 + STEPS / 2) / max_len
-        hbm_bytes = f["weight_bytes"] + f["kv_bytes"] * fill
-        achieved = hbm_bytes / step_s
+            for attempt in range(3):
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True)
+                if r.returncode == 0:
+                    try:
+                        out[ph] = json.loads(
+                            r.stdout.strip().splitlines()[-1])
+                        break
+                    except Exception as e:   # noqa: BLE001
+                        errors[ph] = f"unparseable stdout: {e}"
+                else:
+                    errors[ph] = r.stderr[-2000:]
+                    sys.stderr.write(
+                        f"bench phase {ph} attempt {attempt} failed\n")
+            else:
+                sys.stderr.write(errors.get(ph, "") + "\n")
+        if not out:
+            raise SystemExit("all bench phases failed: "
+                             + json.dumps(errors)[:2000])
+        f, rt = out.get("full"), out.get("ratio")
         peak = 819e9                      # v5e HBM peak (~819 GB/s)
-        dense_ms_ext = (rt["dense_s"] / STEPS * 1e3
-                        * full_layers / ratio_layers)
-        ratio = rt["dense_s"] / rt["packed_s"]
-        tps_full = f["tps"]
-        weight_bytes = f["weight_bytes"]
-        best = {"dense": rt["dense_s"], "packed": rt["packed_s"]}
+        fill = (S0 + STEPS / 2) / max_len
+        extra = {"backend": jax.default_backend(),
+                 "ratio_layers": ratio_layers}
+        if f is not None:
+            step_s = f["step_s"]
+            hbm_bytes = f["weight_bytes"] + f["kv_bytes"] * fill
+            achieved = hbm_bytes / step_s
+            tps_full = f["tps"]
+            extra.update({
+                "ms_per_step_full": round(step_s * 1e3, 2),
+                "weight_gb": round(f["weight_bytes"] / 1e9, 2),
+                "achieved_GBps": round(achieved / 1e9, 1),
+                "hbm_fraction": round(achieved / peak, 3),
+                "p50_ttft_ms": round(f["ttft_s"] * 1e3, 1),
+                "prefill_tokens_per_s": round(B * S0 / f["ttft_s"], 0),
+            })
+        if rt is not None:
+            ratio = rt["dense_s"] / rt["packed_s"]
+            extra.update({
+                "note": ("vs_baseline is the interleaved dense-vs-packed"
+                         f" ratio at {ratio_layers}L (dense bf16 8B does "
+                         "not fit one 16 GB chip; packed does)"),
+                "ms_per_step_dense_extrapolated": round(
+                    rt["dense_s"] / STEPS * 1e3
+                    * full_layers / ratio_layers, 2),
+                "ms_per_step_packed_ratio_phase": round(
+                    rt["packed_s"] / STEPS * 1e3, 2),
+                "ms_per_step_dense_ratio_phase": round(
+                    rt["dense_s"] / STEPS * 1e3, 2),
+                "prefill_ms_dense_ratio_phase": round(
+                    rt["dense_prefill_s"] * 1e3, 2),
+                "prefill_ms_packed_ratio_phase": round(
+                    rt["packed_prefill_s"] * 1e3, 2),
+                "prefill_vs_dense": round(
+                    rt["dense_prefill_s"] / rt["packed_prefill_s"], 4),
+            })
+        if errors:
+            extra["degraded"] = {k: v[-300:] for k, v in errors.items()
+                                 if k not in out}
+        if f is not None:
+            value, metric_sfx = tps_full, ""
+        else:
+            # full phase dead: report the ratio-phase packed tok/s so
+            # the artifact still carries a measured number
+            value = B * STEPS / rt["packed_s"]
+            metric_sfx = f" [DEGRADED: {ratio_layers}L ratio phase only]"
+        print(json.dumps({
+            "metric": f"decode tokens/s, Llama-3-8B ({full_layers}L, full"
+                      f" depth) MX-FP6 emi8 packed + fused-GEMV, B={B}, "
+                      f"1 chip{metric_sfx}",
+            "value": round(value, 1),
+            "unit": "tokens/s",
+            "vs_baseline": round(ratio, 4) if rt is not None else None,
+            "extra": extra,
+        }))
     elif phase == "full":
-        timed_decode, params, release = build(full_layers, specs)
+        if os.environ.get("MICROSCOPIQ_BENCH_FAIL") == "full":
+            raise SystemExit("forced failure (degraded-path test hook)")
+        timed_decode, timed_prefill, params, release = build(
+            full_layers, specs)
         weight_bytes = _tree_bytes(params)
         kv_bytes = 2 * full_layers * B * max_len * 8 * 128 * 2
         tb = 9e9
         for _ in range(4):
             tb = min(tb, timed_decode())
+        ttfts = sorted(timed_prefill() for _ in range(5))
         print(json.dumps({"tps": B * STEPS / tb, "step_s": tb / STEPS,
+                          "ttft_s": ttfts[len(ttfts) // 2],
                           "weight_bytes": weight_bytes,
                           "kv_bytes": kv_bytes}))
         return
@@ -265,35 +346,16 @@ def main():
         runs = {tag: build(ratio_layers, pk)
                 for tag, pk in (("dense", None), ("packed", specs))}
         best = {tag: 9e9 for tag in runs}
+        bestp = {tag: 9e9 for tag in runs}
         for _ in range(6):                # interleave to cancel drift
-            for tag, (timed, _params, _rel) in runs.items():
+            for tag, (timed, timedp, _params, _rel) in runs.items():
                 best[tag] = min(best[tag], timed())
+                bestp[tag] = min(bestp[tag], timedp())
         print(json.dumps({"dense_s": best["dense"],
-                          "packed_s": best["packed"]}))
+                          "packed_s": best["packed"],
+                          "dense_prefill_s": bestp["dense"],
+                          "packed_prefill_s": bestp["packed"]}))
         return
-
-    print(json.dumps({
-        "metric": f"decode tokens/s, Llama-3-8B ({full_layers}L, full "
-                  f"depth) MX-FP6 emi8 packed + fused-GEMV, B={B}, 1 chip",
-        "value": round(tps_full, 1),
-        "unit": "tokens/s",
-        "vs_baseline": round(ratio, 4),
-        "extra": {
-            "note": ("vs_baseline is the interleaved dense-vs-packed "
-                     f"ratio at {ratio_layers}L (dense bf16 8B does not "
-                     "fit one 16 GB chip; packed does)"),
-            "ms_per_step_full": round(step_s * 1e3, 2),
-            "ms_per_step_dense_extrapolated": round(dense_ms_ext, 2),
-            "weight_gb": round(weight_bytes / 1e9, 2),
-            "achieved_GBps": round(achieved / 1e9, 1),
-            "hbm_fraction": round(achieved / peak, 3),
-            "ratio_layers": ratio_layers,
-            "ms_per_step_packed_ratio_phase": round(
-                best["packed"] / STEPS * 1e3, 2),
-            "ms_per_step_dense_ratio_phase": round(
-                best["dense"] / STEPS * 1e3, 2),
-            "backend": jax.default_backend()},
-    }))
 
 
 if __name__ == "__main__":

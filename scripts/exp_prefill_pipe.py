@@ -1,18 +1,25 @@
 #!/usr/bin/env python
-"""Software-pipelined prefill dequant-GEMM experiment (VERDICT r2 item 2).
+"""Software-pipelined prefill dequant-GEMM experiment (VERDICT r3 items 1-2).
 
 The shipping prefill kernel decodes emi8 codes and feeds the MXU in the
 same dependency chain, so per layer the ~1.1 ms VPU decode SERIALIZES
-with the ~2.9 ms MXU dot (packed prefill 1.38x slower than dense).
-This variant double-buffers the decoded tile in VMEM scratch and shifts
-the dot one k-step behind the decode: at grid step k the kernel decodes
-tile k into wbuf[k%2] while the MXU consumes wbuf[(k-1)%2] — no data
-dependency, so Mosaic may co-issue VPU and MXU work. Measures, at the
-Llama-3-8B gate_up shape (4096, 28672) with M=1024:
+with the ~1.2 ms MXU dot. Variants measured at the Llama-3-8B gate_up
+shape (4096, 28672) with M=1024:
 
-  dense    — bf16 weights, XLA dot (the baseline to beat)
-  inkernel — shipping dequant-then-dot prefill kernel
-  pipe     — this pipelined variant
+  dense      — bf16 weights, XLA dot (the baseline to beat)
+  inkernel   — shipping dequant-then-dot prefill kernel
+  pipe_*     — double-buffered decode pipelined along the K grid axis
+               (decodes tile k while the MXU consumes tile k-1)
+  residentx_* — x stays RESIDENT in VMEM (full K), pipeline along the N
+               grid axis: no k-axis accumulator, each j-step is one
+               (TM,K)x(K,TN) dot, and the old pipe's per-(j,k) x re-fetch
+               (56*8 x-tile DMAs = 448 MB) disappears entirely.
+
+Methodology (r3 VERDICT weak #3): the scan body consumes ALL N output
+columns via a full row-reduction folded into the carry — the previous
+version consumed only y[:, :K], so XLA dead-code-eliminated 24,576 of
+the dense arm's 28,672 output columns and its "baseline" was peak for a
+7x smaller matmul. The same reduction is applied to every arm.
 
 Prints one JSON line per arm with device us/iter.
 """
@@ -57,7 +64,7 @@ def main():
     mw = pk.emi8_params("fp6_e3m2")[0]
     fold = pk.emi8_fold("fp6_e3m2")
 
-    # ---- pipelined kernel ----
+    # ---- k-axis pipelined kernel (r2 design) ----
     def pipe_kernel(x_ref, c_ref, s_ref, o_ref, w0, w1, acc_ref, *, nk,
                     TK, TN):
         k = pl.program_id(2)
@@ -132,29 +139,100 @@ def main():
                             pltpu.VMEM((TK, TN), jnp.bfloat16),
                             pltpu.VMEM((TM, TN), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024),
             cost_estimate=pl.CostEstimate(
                 flops=2 * M * Nn * Kp, bytes_accessed=M * Kp * 4 + Nn * Kp,
                 transcendentals=0),
         )(x, ww.codes, ww.scale_exp)
 
+    # ---- resident-x kernel: pipeline along N, x fetched once ----
+    def rx_kernel(x_ref, c_ref, s_ref, o_ref, w0, w1, *, nj, TN, Kfull):
+        j = pl.program_id(1)
+        parity = j % 2
+
+        def decode():
+            c3 = c_ref[:].astype(jnp.int32)          # (K//B, B, TN)
+            mhat = lax.shift_right_arithmetic(c3, 8 - mw)
+            w3 = lax.shift_left(
+                mhat, c3 & ((1 << (8 - mw)) - 1)).astype(jnp.bfloat16)
+            se = s_ref[:].astype(jnp.int32) - fold   # (K//B, TN)
+            w3 = w3 * _exp2_i32(se)[:, None, :].astype(jnp.bfloat16)
+            return w3.reshape(Kfull, TN)
+
+        @pl.when((j < nj) & (parity == 0))
+        def _():
+            w0[:] = decode()
+
+        @pl.when((j < nj) & (parity == 1))
+        def _():
+            w1[:] = decode()
+
+        @pl.when((j > 0) & (parity == 1))
+        def _():
+            o_ref[:] = lax.dot_general(
+                x_ref[:], w0[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when((j > 0) & (parity == 0))
+        def _():
+            o_ref[:] = lax.dot_general(
+                x_ref[:], w1[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    def residentx(x, TM=1024, TN=256):
+        ww = w
+        NB, rows, Nn = ww.codes.shape
+        Kp = NB * B
+        nj = Nn // TN
+        grid = (M // TM, nj + 1)
+        return pl.pallas_call(
+            functools.partial(rx_kernel, nj=nj, TN=TN, Kfull=Kp),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TM, Kp), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, rows, TN),
+                             lambda i, j: (0, 0, jnp.minimum(j, nj - 1)),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NB, TN),
+                             lambda i, j: (0, jnp.minimum(j, nj - 1)),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (TM, TN), lambda i, j: (i, jnp.maximum(j - 1, 0)),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, Nn), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((Kp, TN), jnp.bfloat16),
+                            pltpu.VMEM((Kp, TN), jnp.bfloat16)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=110 * 1024 * 1024),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * Nn * Kp, bytes_accessed=M * Kp * 2 + Nn * Kp,
+                transcendentals=0),
+        )(x.astype(jnp.bfloat16), ww.codes, ww.scale_exp)
+
     arms = {
         "dense": lambda x: (x.astype(jnp.bfloat16) @ Wd).astype(jnp.float32),
         "inkernel": lambda x: dm.dequant_matmul(x, w),
-        "pipe": pipe,
+        "pipe_tn256": pipe,
         "pipe_tn512": lambda x: pipe(x, TN=512, TK=512),
-        "pipe_tk1024": lambda x: pipe(x, TN=256, TK=1024),
+        "residentx_tn256": residentx,
+        "residentx_tn512": lambda x: residentx(x, TN=512),
     }
 
-    y_ref = np.asarray(dm.dequant_matmul_reference(x0, w))
+    y_ref = np.asarray(dm.dequant_matmul_reference(
+        x0, pk.from_serving_layout(w)))
     for tag, fn in arms.items():
-        def step(x, _, fn=fn):
-            y = fn(x)
-            return x + y[:, :K] * 1e-30, None
-
+        # consume ALL N columns: full row-reduction into the (M, K)
+        # carry. Without this XLA narrows the dense dot to the sliced
+        # columns (r3 VERDICT weak #3: 184.9 us was peak for a 7x
+        # smaller matmul).
         run = jax.jit(lambda x, fn=fn: lax.scan(
-            lambda c, _: ((c + fn(c)[:, :K] * 1e-30), None), x, None,
-            length=ITERS)[0])
+            lambda c, _: (c + jnp.sum(fn(c), axis=1, keepdims=True)
+                          * 1e-30, None),
+            x, None, length=ITERS)[0])
         try:
             run(x0).block_until_ready()
         except Exception as e:
