@@ -540,15 +540,22 @@ def _prefill_tiles(M: int, N: int, B: int):
         512 if M >= 512 else (128 if M >= 128
                               else _round_up(max(M, 1), 16)))
     TM = min(TM, _round_up(M, 16))
-    TK = int(env("MICROSCOPIQ_PREFILL_TK", 0)) or max(8 * B, 512)
+    # TM>=1024 tile sweep winners at the 8B gate_up shape (v5e, honest
+    # full-N baseline, /tmp sweep recorded in STATUS.md): TN=2048/TK=1024
+    # = 1489 us vs 1575 (TN=1024/TK=512), 1520 (TN=2048/TK=512), 1505
+    # (TK=2048), dense 1280 us.
+    big = TM >= 1024
+    TK = int(env("MICROSCOPIQ_PREFILL_TK", 0)) or max(
+        8 * B, 1024 if big else 512)
+    tn_ladder = ((2048, 1024, 768, 512, 384, 256, 128) if big
+                 else (1024, 768, 512, 384, 256, 128))
     TN = int(env("MICROSCOPIQ_PREFILL_TN", 0)) or next(
-        (t for t in (1024, 768, 512, 384, 256, 128)
-         if N % t == 0), 128)
+        (t for t in tn_ladder if N % t == 0), 128)
     VMEM_BUDGET = 96 * 1024 * 1024
     stack, blocks = _prefill_vmem_estimate(TM, TN, TK, B)
     while stack + blocks + TM * TN * 4 > VMEM_BUDGET:
         if TN > 128:
-            TN = next((t for t in (1024, 768, 512, 384, 256, 128)
+            TN = next((t for t in tn_ladder
                        if t < TN and N % t == 0), 128)
         elif TK > 8 * B:
             TK //= 2

@@ -271,8 +271,9 @@ def test_prefill_tile_selector_vmem_fits():
         _prefill_tiles, _prefill_vmem_estimate)
 
     # the flagship failure shape: B=8 x S=128 prefill on gate_up
+    # (sweep winner TN=2048/TK=1024: 1489 us vs 1280 us dense on v5e)
     TM, TN, TK, vmem = _prefill_tiles(1024, 28672, 32)
-    assert (TM, TN) == (1024, 1024), (TM, TN)
+    assert (TM, TN, TK) == (1024, 2048, 1024), (TM, TN, TK)
     stack, blocks = _prefill_vmem_estimate(TM, TN, TK, 32)
     assert vmem > 17 * 2**20          # above the default scoped limit
     assert stack + blocks <= vmem <= 128 * 2**20
