@@ -48,6 +48,7 @@ def main():
     err = float(jnp.abs(y - y_ref).max())
     assert err < 3e-2, err
     print(f"tp_dequant_matmul (compiled, (1,1) mesh): max err {err:.2e}")
+    results = {"tp_dequant_matmul_max_err": err}
 
     B, KVH, hd, gap, maxlen, length = 2, 4, 128, 64, 128, 100
     cfg = QuantKVConfig(bits=4, gap=gap, v_group=hd, rank=2)
@@ -68,6 +69,14 @@ def main():
     assert err < 3e-2, err
     print(f"tp_quant_attention_decode (compiled, rank-2 GEAR): "
           f"max err {err:.2e}")
+    results["tp_quant_attention_decode_max_err"] = err
+    results["ok"] = True
+    results["backend"] = jax.default_backend()
+    import json
+    out = pathlib.Path(__file__).resolve().parent.parent / \
+        "TP_CHECK_r04.json"
+    out.write_text(json.dumps(results, indent=1))
+    print("wrote", out)
     print("real-chip (1,1)-mesh compiled TP-Pallas OK")
 
 
