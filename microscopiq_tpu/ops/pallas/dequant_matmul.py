@@ -797,53 +797,56 @@ def dequant_matmul_outlier_reference(x: jax.Array, w: PackedMXOutlier,
 # The GPTQ drivers' outlier format blocks along the OUT-features axis
 # (llm/opt.py:87-94 axes=[0]), so its shared exponents vary along the
 # contraction axis and cannot ride the scale-after-dot kernels. Storage is
-# transposed (N, K): the out-axis blocks land on SUBLANES, where the sb2
-# unpack and the per-block scale expansion are free sublane regroups, and
-# the fixed-budget outlier scatter is one masked select per slot (the
-# SCOPE-NoC routing stage, rtl/MicroScopiQ/scope.v:22-50). HBM traffic is
-# ~3.5-4 bits/element (vs 8 for the absolute emi8m stream).
+# transposed (N, K) with N on sublanes. Measured on v5e (r4): the naive
+# decode — unpack + scale + per-slot masked scatter, all on full-size
+# (TN, TK) tiles — runs 165 µs at (4096, 4096, M=8), 0.28x dense, pure
+# VPU-bound. This kernel keeps EVERY VPU op on quarter- or
+# sixteenth-size arrays and lets the MXU do all expansion:
+#
+#   inliers — packing._subbyte_pack's blockwise interleave puts the 4
+#     fields of one packed byte at rows {r, r+4, r+8, r+12} of a single
+#     16-row block, so all 4 fields share that block's scale. Each field
+#     is shift-extracted, converted and scaled on the (TN/4, TK) quarter
+#     array and hits the MXU as its own dot into a FIELD-MAJOR
+#     accumulator (row = i*TN/4 + b*4 + r  <->  n = b*16 + 4i + r).
+#   outliers — the SCOPE-NoC routing (rtl/MicroScopiQ/scope.v:22-50)
+#     becomes a one-hot-weighted SECOND dot: position-major planes
+#     A[p*TNB + b, k] = sum_s [pos_s==p]·val_s are built with 16 tiny
+#     (TNB, TK) compares per slot (sixteenth-size; no sublane broadcast
+#     relayouts) and the MXU expands them into a p-major accumulator.
+#
+# Both accumulators are un-permuted once, at the final K step. Measured:
+# 75 µs = 0.61x dense GEMV at 4.0 bits/element (scripts/exp_nb_variants
+# .py; 2.2x the previous scatter kernel, ≥2x params/chip vs emi8m).
 # ---------------------------------------------------------------------------
 def _nb_kernel(xt_ref, c_ref, se_ref, seo_ref, ob_ref, out_ref, acc_ref,
-               *, nk: int, block_size: int, budget: int, fold: int,
-               out_dtype):
+               acc2_ref, *, nk: int, block_size: int, budget: int,
+               fold: int, out_dtype):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc2_ref[:] = jnp.zeros_like(acc2_ref)
 
     B = block_size
-    # sb2 inlier unpack: 4 codes/byte along the sublane (N) axis,
-    # blockwise interleave (packing._subbyte_pack) -> shift-extracts +
-    # one sublane concat
+    assert B == 16, "compact transport is specified for block 16"
     p2 = c_ref[:]                                       # (TN//4, TK) int8
     tn4, tk = p2.shape
-    tnb = tn4 * 4 // B
-    p3 = p2.reshape(tnb, B // 4, tk).astype(jnp.int32)
-    fields = []
-    for i in range(4):
-        f = lax.shift_left(p3 >> (2 * i), 30)
-        fields.append(lax.shift_right_arithmetic(f, 30))
-    c = jnp.concatenate(fields, axis=1)                 # (TNB, B, TK)
-
+    tnb = tn4 // 4
+    pi = p2.astype(jnp.int32)
     se = se_ref[:].astype(jnp.int32)                    # (TNB, TK)
-    w = c.astype(jnp.bfloat16) * _exp2_i32(se - fold).astype(
-        jnp.bfloat16)[:, None, :]
+    sc4 = jnp.broadcast_to(
+        _exp2_i32(se - fold)[:, None, :], (tnb, 4, tk)
+    ).reshape(tn4, tk).astype(jnp.bfloat16)
+    xt = xt_ref[:]                                      # (TM, TK) bf16
 
-    # outlier side-band: byte = pos<<4 | fp4 bits; value contribution is
-    # sign·M·2^(max(e-1,0)) · 2^(L2-L1-1)  (the 2^-1 is fp4's grid step)
-    # The select runs on flat 2D (TN, TK) shapes: a (tnb, B, TK) i1
-    # mask trips a Mosaic relayout bug at model sizes ("Non-singleton
-    # logical dimension is replicated...") and 2D lays out better anyway.
+    # outlier side-band decode: byte = pos<<4 | fp4 bits; value is
+    # sign·M·2^(max(e-1,0)) · 2^(L2-L1-1)  (the 2^-1 is fp4's grid
+    # step). All on the sixteenth-size (TNB, TK) planes.
     seo = seo_ref[:].astype(jnp.int32)
     osc = _exp2_i32(seo - se - 1).astype(jnp.bfloat16)  # (TNB, TK)
-    w2 = w.reshape(tnb * B, tk)
-    row2 = lax.broadcasted_iota(jnp.int32, (tnb * B, tk), 0) % B
-
-    def expand(a):                                      # (TNB,TK)->(TN,TK)
-        return jnp.broadcast_to(a[:, None, :], (tnb, B, tk)
-                                ).reshape(tnb * B, tk)
-
+    slots = []
     for s in range(budget):
         b = ob_ref[s].astype(jnp.int32) & 0xFF          # (TNB, TK)
         pos = b >> 4
@@ -852,18 +855,38 @@ def _nb_kernel(xt_ref, c_ref, se_ref, seo_ref, ob_ref, out_ref, acc_ref,
         sgn = (b >> 3) & 1
         mag = lax.shift_left(m + 2 * jnp.minimum(e, 1),
                              jnp.maximum(e - 1, 0))
-        val = (mag * (1 - 2 * sgn)).astype(jnp.bfloat16) * osc
-        w2 = w2 + jnp.where(row2 == expand(pos), expand(val),
-                            jnp.bfloat16(0.0))
+        slots.append((pos, (mag * (1 - 2 * sgn)).astype(jnp.bfloat16)
+                      * osc))
 
-    xt = xt_ref[:]                                      # (TM, TK) bf16
-    acc_ref[:] += lax.dot_general(
-        w2, xt, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)             # (TN, TM)
+    # inlier field dots (field-major accumulator)
+    for i in range(4):
+        f = lax.shift_right_arithmetic(lax.shift_left(pi, 30 - 2 * i), 30)
+        acc_ref[i * tn4:(i + 1) * tn4] += lax.dot_general(
+            f.astype(jnp.bfloat16) * sc4, xt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (TN//4, TM)
+
+    # outlier one-hot correction dot (p-major accumulator)
+    if budget:
+        rows = []
+        for p in range(B):
+            ap = None
+            for pos, val in slots:
+                a = jnp.where(pos == p, val, jnp.bfloat16(0))
+                ap = a if ap is None else ap + a
+            rows.append(ap)
+        acc2_ref[:] += lax.dot_general(
+            jnp.concatenate(rows, axis=0), xt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # (TN, TM)
 
     @pl.when(k == nk - 1)
     def _():
-        out_ref[:] = acc_ref[:].astype(out_dtype)
+        tm = acc_ref.shape[1]
+        y = acc_ref[:].reshape(4, tnb, 4, tm).transpose(
+            1, 0, 2, 3).reshape(tn4 * 4, tm)            # n = b*16+4i+r
+        if budget:
+            y = y + acc2_ref[:].reshape(B, tnb, tm).transpose(
+                1, 0, 2).reshape(tn4 * 4, tm)           # n = b*16+p
+        out_ref[:] = y.astype(out_dtype)
 
 
 def dequant_matmul_nb(x: jax.Array, w: "pk.PackedOutlierNB",
@@ -886,7 +909,7 @@ def dequant_matmul_nb(x: jax.Array, w: "pk.PackedOutlierNB",
 
     TM = _round_up(max(M, 1), 8)
     TN = min(512, Np)
-    TK = 512
+    TK = 1024                      # r4 sweep: TK=1024 beats 512 (75 vs 77 us)
     while TK > K and TK > 128:
         TK //= 2
     Mp, Np2, Kp = _round_up(M, TM), _round_up(Np, TN), _round_up(K, TK)
@@ -920,7 +943,8 @@ def dequant_matmul_nb(x: jax.Array, w: "pk.PackedOutlierNB",
         out_specs=pl.BlockSpec((TN, TM), lambda i, k: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np2, Mp), out_dtype),
-        scratch_shapes=[pltpu.VMEM((TN, TM), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TN, TM), jnp.float32),
+                        pltpu.VMEM((TN, TM), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
