@@ -36,5 +36,7 @@ from .gear import (  # noqa: F401
     pack_4bit_halves,
     unpack_4bit_halves,
 )
-from .h2o import H2OCache, H2OKVState, init_h2o_cache  # noqa: F401
+from .h2o import (H2OCache, H2OKVState, QuantH2OCache,  # noqa: F401
+                  QuantH2OKVState, init_h2o_cache,
+                  init_quant_h2o_cache)
 from .sink import SinkDecodeCache, SinkKVState, init_sink_cache  # noqa: F401

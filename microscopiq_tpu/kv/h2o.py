@@ -128,3 +128,227 @@ class H2OCache:
     def finalize(self) -> H2OKVState:
         return H2OKVState(self._k, self._v, self._pos, self._score,
                           self._len)
+
+
+# ---------------------------------------------------------------------------
+# H2O x quantization: heavy-hitter eviction over a QUANTIZED slot store
+#
+# The reference's compress config lists "H2O" as a compress_method
+# ALONGSIDE the quantized methods (kv_quant/GEARLM/Simulated/
+# modeling_llama_new.py:563-580), i.e. eviction composed with cache
+# quantization — but its H2OCache import is broken so the combination
+# never runs. Here: the same fixed-budget score-fed eviction as
+# H2OCache, with each kept token stored as sub-byte min/max codes
+# (per-token feature groups — KIVI's V-side scheme applied to both K
+# and V, since per-channel K grouping cannot survive slot eviction) and
+# a dense residual ring holding the most recent tokens exactly
+# (KIVI's residual, compress_function.py gap/residual split).
+# ---------------------------------------------------------------------------
+
+def _per_h2o(bits: int) -> int:
+    return {2: 4, 4: 2, 8: 1}[bits]
+
+
+def _pack_last(codes, per: int, bits: int):
+    """(..., hd) uint8 codes < 2^bits -> (..., hd//per) field-major."""
+    if per == 1:
+        return codes
+    *lead, hd = codes.shape
+    c = codes.reshape(*lead, per, hd // per).astype(jnp.uint8)
+    out = c[..., 0, :]
+    for i in range(1, per):
+        out = out | (c[..., i, :] << (bits * i))
+    return out
+
+
+def _unpack_last(packed, per: int, bits: int):
+    if per == 1:
+        return packed
+    mask = (1 << bits) - 1
+    fields = [(packed >> (bits * i)) & mask for i in range(per)]
+    return jnp.concatenate(fields, axis=-1)
+
+
+def _qtok(x, bits: int, g: int):
+    """Per-token min/max quant over feature groups of g along the last
+    axis. x (..., hd) -> (packed codes (..., hd//per), mn, sc (..., G))."""
+    hd = x.shape[-1]
+    g = min(g, hd)
+    G = hd // g
+    xg = x.astype(jnp.float32).reshape(x.shape[:-1] + (G, g))
+    mn = xg.min(-1)
+    sc = (xg.max(-1) - mn) / (2 ** bits - 1)
+    sc = jnp.where(sc == 0, 1.0, sc)
+    codes = jnp.clip(jnp.round((xg - mn[..., None]) / sc[..., None]),
+                     0, 2 ** bits - 1).astype(jnp.uint8)
+    return (_pack_last(codes.reshape(x.shape), _per_h2o(bits), bits),
+            mn, sc)
+
+
+def _dqtok(packed, mn, sc, bits: int, dtype):
+    codes = _unpack_last(packed, _per_h2o(bits), bits)
+    G = mn.shape[-1]
+    hd = codes.shape[-1]
+    xg = codes.astype(jnp.float32).reshape(codes.shape[:-1] + (G, hd // G))
+    return (xg * sc[..., None] + mn[..., None]).reshape(
+        codes.shape).astype(dtype)
+
+
+@flax.struct.dataclass
+class QuantH2OKVState:
+    ck: jax.Array       # (L, B, budget, KVH, hd//per) uint8 packed codes
+    mnk: jax.Array      # (L, B, budget, KVH, G) f32
+    sck: jax.Array      # (L, B, budget, KVH, G) f32
+    cv: jax.Array
+    mnv: jax.Array
+    scv: jax.Array
+    rk: jax.Array       # (L, B, R, KVH, hd) dense residual ring
+    rv: jax.Array
+    rpos: jax.Array     # (L, B, R) int32 position held; -1 = empty
+    pos: jax.Array      # (L, B, budget) int32; -1 = empty
+    score: jax.Array    # (L, B, budget) f32 accumulated attention mass
+    length: jax.Array   # () int32 tokens SEEN
+    bits: int = flax.struct.field(pytree_node=False, default=4)
+    group: int = flax.struct.field(pytree_node=False, default=32)
+
+
+def init_quant_h2o_cache(n_layers, batch, budget, kv_heads, head_dim,
+                         bits=4, group=32, residual_len=8,
+                         dtype=jnp.bfloat16) -> QuantH2OKVState:
+    g = min(group, head_dim)
+    G = head_dim // g
+    per = _per_h2o(bits)
+    L, B = n_layers, batch
+    R = residual_len
+    return QuantH2OKVState(
+        ck=jnp.zeros((L, B, budget, kv_heads, head_dim // per), jnp.uint8),
+        mnk=jnp.zeros((L, B, budget, kv_heads, G), jnp.float32),
+        sck=jnp.ones((L, B, budget, kv_heads, G), jnp.float32),
+        cv=jnp.zeros((L, B, budget, kv_heads, head_dim // per), jnp.uint8),
+        mnv=jnp.zeros((L, B, budget, kv_heads, G), jnp.float32),
+        scv=jnp.ones((L, B, budget, kv_heads, G), jnp.float32),
+        rk=jnp.zeros((L, B, R, kv_heads, head_dim), dtype),
+        rv=jnp.zeros((L, B, R, kv_heads, head_dim), dtype),
+        rpos=jnp.full((L, B, R), -1, jnp.int32),
+        pos=jnp.full((L, B, budget), -1, jnp.int32),
+        score=jnp.zeros((L, B, budget), jnp.float32),
+        length=jnp.zeros((), jnp.int32),
+        bits=bits, group=g)
+
+
+class QuantH2OCache:
+    """H2O eviction over quantized slots (decode-cache protocol +
+    ``observe``). Drop-in for :class:`H2OCache`; the returned attention
+    view is the dequantized slot store with residual-ring tokens exact."""
+
+    def __init__(self, state: QuantH2OKVState, recent_window: int = 8):
+        self.state = state
+        self.recent_window = int(recent_window)
+        self._s = state
+
+    # -- internals ------------------------------------------------------
+    def _write_slots(self, layer_idx, tgt_b, tgt_slot, k, v, positions):
+        """Quantize tokens (B*, KVH, hd) into (batch, slot) indices."""
+        s = self._s
+        ck, mnk, sck = _qtok(k, s.bits, s.group)
+        cv, mnv, scv = _qtok(v, s.bits, s.group)
+        upd = dict(ck=ck, mnk=mnk, sck=sck, cv=cv, mnv=mnv, scv=scv)
+        new = {}
+        for name, val in upd.items():
+            arr = getattr(s, name)
+            new[name] = arr.at[layer_idx, tgt_b, tgt_slot].set(
+                val.astype(arr.dtype))
+        return new
+
+    def _view(self, layer_idx):
+        """Dequantized (B, budget, KVH, hd) K/V with residual override."""
+        s = self._s
+        dt = s.rk.dtype
+        k = _dqtok(s.ck[layer_idx], s.mnk[layer_idx], s.sck[layer_idx],
+                   s.bits, dt)
+        v = _dqtok(s.cv[layer_idx], s.mnv[layer_idx], s.scv[layer_idx],
+                   s.bits, dt)
+        R = s.rk.shape[2]
+        if R:
+            slot_pos = s.pos[layer_idx]                     # (B, budget)
+            ridx = jnp.maximum(slot_pos, 0) % R             # (B, budget)
+            rp = jnp.take_along_axis(s.rpos[layer_idx], ridx, axis=1)
+            fresh = (rp == slot_pos) & (slot_pos >= 0)      # (B, budget)
+            idx4 = ridx[..., None, None]
+            gk = jnp.take_along_axis(
+                s.rk[layer_idx], jnp.broadcast_to(
+                    idx4, ridx.shape + s.rk.shape[3:]), axis=1)
+            gv = jnp.take_along_axis(
+                s.rv[layer_idx], jnp.broadcast_to(
+                    idx4, ridx.shape + s.rv.shape[3:]), axis=1)
+            k = jnp.where(fresh[..., None, None], gk, k)
+            v = jnp.where(fresh[..., None, None], gv, v)
+        return k, v
+
+    # -- decode-cache protocol ------------------------------------------
+    def update(self, layer_idx: int, k, v, positions, mask):
+        s = self._s
+        B, S, KVH, hd = k.shape
+        budget = s.pos.shape[2]
+        R = s.rk.shape[2]
+        bidx = jnp.arange(B)
+        if S > 1:
+            assert S <= budget, (S, budget)
+            new = self._write_slots(
+                layer_idx, bidx[:, None], jnp.arange(S)[None, :], k, v,
+                positions)
+            pos_row = jnp.concatenate(
+                [positions.astype(jnp.int32),
+                 jnp.full((B, budget - S), -1, jnp.int32)], axis=1)
+            new["pos"] = s.pos.at[layer_idx].set(pos_row)
+            new["score"] = s.score.at[layer_idx].set(0.0)
+            if R:
+                Rs = min(R, S)
+                # last Rs prompt tokens go to the ring (unique p % R)
+                ridx = positions[:, S - Rs:].astype(jnp.int32) % R
+                new["rk"] = s.rk.at[layer_idx, bidx[:, None], ridx].set(
+                    k[:, S - Rs:].astype(s.rk.dtype))
+                new["rv"] = s.rv.at[layer_idx, bidx[:, None], ridx].set(
+                    v[:, S - Rs:].astype(s.rv.dtype))
+                new["rpos"] = s.rpos.at[layer_idx, bidx[:, None],
+                                        ridx].set(
+                    positions[:, S - Rs:].astype(jnp.int32))
+            new["length"] = self.state.length + S
+        else:
+            seen = self.state.length
+            slot_pos = s.pos[layer_idx]
+            protected = slot_pos >= (seen - self.recent_window)
+            neg = jnp.where(protected, jnp.inf, s.score[layer_idx])
+            victim = jnp.argmin(neg, axis=1)
+            tgt = jnp.where(seen < budget,
+                            jnp.full((B,), 0, jnp.int32) + seen,
+                            victim.astype(jnp.int32))
+            new = self._write_slots(layer_idx, bidx, tgt, k[:, 0],
+                                    v[:, 0], positions)
+            new["pos"] = s.pos.at[layer_idx, bidx, tgt].set(
+                positions[:, 0].astype(jnp.int32))
+            new["score"] = s.score.at[layer_idx, bidx, tgt].set(0.0)
+            if R:
+                ridx = positions[:, 0].astype(jnp.int32) % R
+                new["rk"] = s.rk.at[layer_idx, bidx, ridx].set(
+                    k[:, 0].astype(s.rk.dtype))
+                new["rv"] = s.rv.at[layer_idx, bidx, ridx].set(
+                    v[:, 0].astype(s.rv.dtype))
+                new["rpos"] = s.rpos.at[layer_idx, bidx, ridx].set(
+                    positions[:, 0].astype(jnp.int32))
+            new["length"] = seen + 1
+
+        self._s = s.replace(**new)
+        kd, vd = self._view(layer_idx)
+        slot_pos = self._s.pos[layer_idx]
+        out_mask = ((slot_pos[:, None, :] <= positions[..., None]) &
+                    (slot_pos[:, None, :] >= 0))
+        return kd, vd, out_mask[:, None]
+
+    def observe(self, layer_idx: int, probs):
+        self._s = self._s.replace(
+            score=self._s.score.at[layer_idx].add(
+                probs.astype(jnp.float32)))
+
+    def finalize(self) -> QuantH2OKVState:
+        return self._s
