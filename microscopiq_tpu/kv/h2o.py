@@ -216,8 +216,15 @@ def init_quant_h2o_cache(n_layers, batch, budget, kv_heads, head_dim,
                          bits=4, group=32, residual_len=8,
                          dtype=jnp.bfloat16) -> QuantH2OKVState:
     g = min(group, head_dim)
+    while head_dim % g:          # round down to a divisor of head_dim
+        g -= 1
     G = head_dim // g
     per = _per_h2o(bits)
+    if head_dim % per:
+        raise ValueError(
+            f"head_dim={head_dim} must be divisible by the packing factor "
+            f"{per} (= 8 // bits for bits={bits}); pad head_dim or use a "
+            "wider bit width")
     L, B = n_layers, batch
     R = residual_len
     return QuantH2OKVState(

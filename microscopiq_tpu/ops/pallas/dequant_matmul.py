@@ -822,7 +822,7 @@ def dequant_matmul_outlier_reference(x: jax.Array, w: PackedMXOutlier,
 def _nb_kernel(xt_ref, c_ref, se_ref, seo_ref, ob_ref, out_ref, acc_ref,
                acc2_ref, *, nk: int, block_size: int, budget: int,
                fold: int, out_dtype):
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
@@ -907,9 +907,16 @@ def dequant_matmul_nb(x: jax.Array, w: "pk.PackedOutlierNB",
     x2 = x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16)
     M = x2.shape[0]
 
-    TM = _round_up(max(M, 1), 8)
+    import os
+    env = os.environ.get
+    # tile M: a (TN, TM) f32 accumulator PAIR lives in VMEM scratch, so
+    # an unbounded TM (prefill-sized M) would blow VMEM silently
+    # (ADVICE r4). TM<=256 keeps both accumulators <= 1 MB.
+    TM = int(env("MICROSCOPIQ_NB_TM", 0)) or min(
+        _round_up(max(M, 1), 8), 256)
     TN = min(512, Np)
-    TK = 1024                      # r4 sweep: TK=1024 beats 512 (75 vs 77 us)
+    # r4 sweep: TK=1024 beats 512 (75 vs 77 us)
+    TK = int(env("MICROSCOPIQ_NB_TK", 0)) or 1024
     while TK > K and TK > 128:
         TK //= 2
     Mp, Np2, Kp = _round_up(M, TM), _round_up(Np, TN), _round_up(K, TK)
@@ -921,7 +928,7 @@ def dequant_matmul_nb(x: jax.Array, w: "pk.PackedOutlierNB",
     ob = jnp.pad(w.out_byte, ((0, 0), (0, (Np2 - Np) // B), (0, Kp - K)))
 
     nk = Kp // TK
-    grid = (Np2 // TN, nk)
+    grid = (Mp // TM, Np2 // TN, nk)
     tnb = TN // B
 
     out = pl.pallas_call(
@@ -929,24 +936,24 @@ def dequant_matmul_nb(x: jax.Array, w: "pk.PackedOutlierNB",
                           fold=fold, out_dtype=out_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TM, TK), lambda i, k: (0, k),
+            pl.BlockSpec((TM, TK), lambda m, i, k: (m, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN // 4, TK), lambda i, k: (i, k),
+            pl.BlockSpec((TN // 4, TK), lambda m, i, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tnb, TK), lambda i, k: (i, k),
+            pl.BlockSpec((tnb, TK), lambda m, i, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tnb, TK), lambda i, k: (i, k),
+            pl.BlockSpec((tnb, TK), lambda m, i, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((budget, tnb, TK), lambda i, k: (0, i, k),
+            pl.BlockSpec((budget, tnb, TK), lambda m, i, k: (0, i, k),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TN, TM), lambda i, k: (i, 0),
+        out_specs=pl.BlockSpec((TN, TM), lambda m, i, k: (i, m),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Np2, Mp), out_dtype),
         scratch_shapes=[pltpu.VMEM((TN, TM), jnp.float32),
                         pltpu.VMEM((TN, TM), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * Np2 * Kp,
             bytes_accessed=(Np2 * Kp) // 4 + 3 * NB * Kp + Mp * Kp * 2

@@ -165,3 +165,19 @@ def test_quant_h2o_model_decode_jits_and_tracks_dense():
     # 8-bit slots + exact residual: logits track dense H2O closely
     denom = np.abs(dense_out).max() + 1e-9
     assert np.max(np.abs(dense_out - quant_out)) / denom < 0.05
+
+
+def test_quant_h2o_init_irregular_head_dim():
+    """ADVICE r4: head_dim=80 with default group=32 must not fail at
+    trace time — the group rounds down to a divisor (16); an
+    unpackable head_dim raises a clear error instead of a reshape."""
+    import pytest
+
+    from microscopiq_tpu.kv.h2o import init_quant_h2o_cache
+
+    st = init_quant_h2o_cache(1, 2, 8, 2, 80, bits=4, group=32)
+    assert st.group == 20 and 80 % st.group == 0   # largest divisor <= 32
+    assert st.ck.shape[-1] == 80 // 2          # per = 8 // bits
+
+    with pytest.raises(ValueError, match="divisible by the packing"):
+        init_quant_h2o_cache(1, 2, 8, 2, 9, bits=2)

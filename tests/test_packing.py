@@ -392,3 +392,25 @@ def test_dequant_matmul_nb_kernel_matches_reference():
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(y_ref), rtol=0,
         atol=3e-6 * float(jnp.abs(y_ref).max()))
+
+
+def test_dequant_matmul_nb_kernel_multi_k_and_m_tiles(monkeypatch):
+    """nk >= 2 exercises the cross-K accumulator zero/+= path and the
+    final un-permute at k == nk-1 (ADVICE r4: the rewritten _nb_kernel
+    was only CI-covered at nk == 1); M > TM exercises the M grid
+    dimension added with the ADVICE r4 VMEM cap."""
+    from microscopiq_tpu.ops.packing import pack_outlier_nb
+    from microscopiq_tpu.ops.pallas.dequant_matmul import (
+        dequant_matmul_nb, dequant_matmul_nb_reference)
+
+    monkeypatch.setenv("MICROSCOPIQ_NB_TK", "128")   # K=256 -> nk=2
+    monkeypatch.setenv("MICROSCOPIQ_NB_TM", "8")     # M=20 -> 3 M tiles
+    _, dec = _gptq_decisions(cap=2, N=160, K=256)
+    p = pack_outlier_nb(dec, budget=2)
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((20, 256)).astype(np.float32))
+    y_ref = dequant_matmul_nb_reference(x, p)
+    y = dequant_matmul_nb(x, p, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=0,
+        atol=3e-6 * float(jnp.abs(y_ref).max()))
