@@ -116,7 +116,8 @@ def generate(model, params, prompt_ids: np.ndarray, max_new_tokens: int,
         # pads clip to 0 (their K/V are masked out of every attention row)
         positions = jnp.maximum(
             jnp.arange(ids.shape[1])[None, :] - offset[:, None], 0)
-        logits = model.apply(params, ids, positions=positions, cache=cache)
+        logits = model.apply(params, ids, positions=positions, cache=cache,
+                             last_only=True)
         return logits[:, -1], cache.finalize()
 
     @jax.jit

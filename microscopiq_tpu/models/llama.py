@@ -459,7 +459,8 @@ class LlamaForCausalLM(fnn.Module):
 
     @fnn.compact
     def __call__(self, input_ids, positions=None, mask=None, cache=None,
-                 inputs_embeds=None, last_only: bool = False):
+                 inputs_embeds=None, last_only: bool = False,
+                 logit_index=None):
         cfg = self.cfg
         x = LlamaModel(cfg, self.mx_specs, self.use_pallas,
                        name="model")(input_ids, positions, mask, cache,
@@ -467,8 +468,17 @@ class LlamaForCausalLM(fnn.Module):
         if last_only:
             # prefill only needs the last position's logits; the full
             # (B, S, vocab) tensor is the dominant HBM cost at long
-            # context (8 x 3072 x 128k f32 = 12.6 GB)
+            # context (8 x 3072 x 128k f32 = 12.6 GB) and the full-S
+            # lm_head matmul ~1.1 TFLOP of waste at B=8 x S=128
             x = x[:, -1:]
+        elif logit_index is not None:
+            # right-padded prefill (serving engine): logits at the last
+            # REAL token per row — gather the hidden state BEFORE the
+            # lm_head so the vocab matmul runs on one token per row
+            idx = jnp.asarray(logit_index)[:, None, None]
+            x = jnp.take_along_axis(
+                x, jnp.broadcast_to(idx, (x.shape[0], 1, x.shape[-1])),
+                axis=1)
         if cfg.tie_word_embeddings:
             embed = self.variables["params"]["model"]["embed_tokens"]
             logits = x @ embed.T

@@ -126,7 +126,8 @@ class OPTForCausalLM(fnn.Module):
     mx_linear_only: bool = False
 
     @fnn.compact
-    def __call__(self, input_ids, positions=None, mask=None, cache=None):
+    def __call__(self, input_ids, positions=None, mask=None, cache=None,
+                 last_only: bool = False, logit_index=None):
         cfg = self.cfg
         B, S = input_ids.shape
         if positions is None:
@@ -151,6 +152,13 @@ class OPTForCausalLM(fnn.Module):
                 cfg.hidden_size,
                 mx_specs=None if self.mx_linear_only else self.mx_specs,
                 name="final_layer_norm")(x)
+        if last_only:        # prefill: vocab matmul on the last token only
+            x = x[:, -1:]
+        elif logit_index is not None:
+            idx = jnp.asarray(logit_index)[:, None, None]
+            x = jnp.take_along_axis(
+                x, jnp.broadcast_to(idx, (x.shape[0], 1, x.shape[-1])),
+                axis=1)
         if cfg.tie_word_embeddings:
             logits = x @ embed.T
         else:

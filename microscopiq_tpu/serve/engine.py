@@ -212,13 +212,13 @@ class BatchEngine:
             cache = mk_prefill(state, slot, true_len)
             S = ids.shape[1]
             pos = jnp.arange(S)[None, :]
-            logits = self.model.apply(params, ids, positions=pos,
-                                      cache=cache)
-            # last REAL token's logits (ids are right-padded to a bucket)
-            last = jnp.take_along_axis(
-                logits, (true_len - 1)[None, None, None].astype(jnp.int32)
-                .repeat(logits.shape[-1], -1), axis=1)[:, 0]
-            tok = sample(last, temp[None], key)[0]
+            # logit_index gathers the last REAL token's hidden state
+            # BEFORE the lm_head (ids are right-padded to a bucket), so
+            # the vocab matmul runs on 1 token instead of S
+            logits = self.model.apply(
+                params, ids, positions=pos, cache=cache,
+                logit_index=(true_len - 1)[None].astype(jnp.int32))
+            tok = sample(logits[:, 0], temp[None], key)[0]
             return tok, cache.finalize(true_len)
 
         def decode_step(params, toks, state, active, temps, key):

@@ -115,7 +115,8 @@ class LlavaForCausalLM(fnn.Module):
     @fnn.compact
     def __call__(self, input_ids, positions=None, mask=None, cache=None,
                  pixel_values=None, image_token_mask=None,
-                 inputs_embeds=None):
+                 inputs_embeds=None, last_only: bool = False,
+                 logit_index=None):
         tc = self.cfg.text
         tower = CLIPVisionTower(self.cfg.vision,
                                 self.cfg.vision_select_layer,
@@ -138,6 +139,13 @@ class LlavaForCausalLM(fnn.Module):
                        name="model")(input_ids, positions, mask, cache,
                                      inputs_embeds, image_feats,
                                      image_token_mask)
+        if last_only:        # prefill: vocab matmul on the last token only
+            x = x[:, -1:]
+        elif logit_index is not None:
+            idx = jnp.asarray(logit_index)[:, None, None]
+            x = jnp.take_along_axis(
+                x, jnp.broadcast_to(idx, (x.shape[0], 1, x.shape[-1])),
+                axis=1)
         if tc.tie_word_embeddings:     # MPT-backed LLaVA ties lm_head
             embed = self.variables["params"]["model"]["embed_tokens"]
             return x @ embed.T

@@ -184,3 +184,31 @@ def test_llama_packed_mode():
     rel = float(jnp.mean(jnp.abs(lq - l0)) / (jnp.mean(jnp.abs(l0)) + 1e-9))
     assert rel < 0.3
     assert np.isfinite(np.asarray(lq)).all()
+
+
+def test_last_only_and_logit_index_match_full_logits():
+    """The prefill fast path (vocab matmul on 1 token) must produce the
+    same logits as slicing the full (B, S, V) output — for the final
+    position (last_only) and for per-row gathered positions
+    (logit_index, the right-padded serving-engine case)."""
+    import jax
+    import jax.numpy as jnp
+
+    from microscopiq_tpu.models import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig.tiny()
+    model = LlamaForCausalLM(cfg, use_pallas=False)
+    ids = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (2, 12)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    full = model.apply(params, ids)
+    last = model.apply(params, ids, last_only=True)
+    np.testing.assert_allclose(np.asarray(last[:, 0]),
+                               np.asarray(full[:, -1]), rtol=1e-5)
+
+    idx = jnp.asarray([3, 9], jnp.int32)
+    gathered = model.apply(params, ids, logit_index=idx)
+    np.testing.assert_allclose(
+        np.asarray(gathered[:, 0]),
+        np.asarray(full)[np.arange(2), np.asarray(idx)], rtol=1e-5)
