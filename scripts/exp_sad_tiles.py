@@ -49,7 +49,13 @@ def main():
     configs = [(0, 0, 0),                    # production defaults
                (8, 1024, 1024), (8, 2048, 1024), (8, 2048, 2048),
                (16, 2048, 1024), (8, 3584, 1024), (8, 1024, 2048),
-               (8, 512, 1024), (16, 1024, 2048)]
+               (8, 512, 1024), (16, 1024, 2048),
+               # r5: full-row / near-full-row TN — the (NB, rows, TN)
+               # layout's N-stride disappears (fully contiguous DMA
+               # per k-step burst); chasing the 714 -> 753 GB/s gap
+               (8, 7168, 512), (8, 7168, 1024), (8, 14336, 512),
+               (8, 14336, 256), (8, 28672, 256), (8, 28672, 512),
+               (8, 28672, 128)]
     for TM, TN, TK in configs:
         os.environ["MICROSCOPIQ_SAD_TM"] = str(TM)
         os.environ["MICROSCOPIQ_SAD_TN"] = str(TN)
