@@ -232,7 +232,15 @@ def _chunk_attention(q, kq, kmn, ksc, vq, vmn, vsc, nfull, scale,
     rank = 0 if lowrank is None else lowrank[0].shape[-2]
     cb = C
     if rank > 0:
-        cb = next(d for d in (8, 4, 2, 1) if C % d == 0)
+        # cb*gap must stay lane-tileable: the grouped V-scale block's
+        # minor dim is cb*gap, and Mosaic requires it to be a multiple
+        # of 128 or the FULL array dim (C*gap). cb=1 at gap=64 (odd C,
+        # e.g. C=9 from maxlen 576) violated this — caught by the r5
+        # on-device smoke (SMOKE_r05 qattn/b4_gear_r2), invisible to
+        # interpret-mode tests.
+        cands = [d for d in (8, 4, 2, 1)
+                 if C % d == 0 and (d * gap) % 128 == 0]
+        cb = cands[0] if cands else C
     ncb = C // cb
     grid = (B, KVH, ncb)
     kernel = functools.partial(

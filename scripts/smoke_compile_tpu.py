@@ -266,11 +266,15 @@ def section_quant_attention(r):
             r.failures += 1
             print(json.dumps(r.results[-1]), flush=True)
             continue
+        # layer/v_group/scale are STATIC in production (python-level
+        # constants closed over inside the model's jit) — tracing
+        # `scale` makes the kernel capture a tracer and fail
         r.case(f"qattn/{tag}",
                lambda full=full, cfg=cfg: jax.jit(
                    quant_attention_decode,
-                   static_argnums=(4,))(q, full, 0, jnp.int32(length),
-                                        cfg.v_group, scale),
+                   static_argnums=(2, 4, 5))(q, full, 0,
+                                             jnp.int32(length),
+                                             cfg.v_group, scale),
                lambda full=full, cfg=cfg: quant_attention_decode_reference(
                    q, full, 0, jnp.int32(length), cfg.v_group, scale),
                rtol=2e-2, atol=2e-2)
@@ -280,7 +284,8 @@ def section_quant_attention(r):
     lens = jnp.asarray(
         rng.integers(gap, length, B).astype(np.int32))
     r.case("qattn/b4_slot_lengths",
-           lambda: jax.jit(quant_attention_decode, static_argnums=(4,))(
+           lambda: jax.jit(quant_attention_decode,
+                           static_argnums=(2, 4, 5))(
                q, full, 0, lens, cfg.v_group, scale),
            lambda: quant_attention_decode_reference(
                q, full, 0, lens, cfg.v_group, scale),
@@ -292,20 +297,37 @@ def main():
 
     assert jax.default_backend() == "tpu", "smoke test needs the chip"
     fast = "--fast" in sys.argv
+    sections = None                    # e.g. --sections=qattn,mx_quant
+    for a in sys.argv[1:]:
+        if a.startswith("--sections="):
+            sections = set(a.split("=", 1)[1].split(","))
     r = Runner()
 
-    section_dequant_matmul(r, fast)
-    section_outlier(r, fast)
-    section_mx_quant(r)
-    if not fast:
+    def want(name):
+        return sections is None or name in sections
+
+    if want("dequant"):
+        section_dequant_matmul(r, fast)
+    if want("outlier"):
+        section_outlier(r, fast)
+    if want("mx_quant"):
+        section_mx_quant(r)
+    if want("qattn") and not fast:
         section_quant_attention(r)
 
-    artifact = {"n_cases": len(r.results), "n_failures": r.failures,
-                "ok": r.failures == 0, "cases": r.results}
     out = pathlib.Path(__file__).resolve().parent.parent / "SMOKE_r05.json"
+    cases = r.results
+    if sections is not None and out.exists():
+        # partial rerun: merge over the existing artifact by case name
+        old = json.loads(out.read_text())["cases"]
+        new_names = {c["case"] for c in cases}
+        cases = [c for c in old if c["case"] not in new_names] + cases
+    failures = sum(not c["ok"] for c in cases)
+    artifact = {"n_cases": len(cases), "n_failures": failures,
+                "ok": failures == 0, "cases": cases}
     out.write_text(json.dumps(artifact, indent=1))
-    print(f"wrote {out}: {len(r.results)} cases, {r.failures} failures")
-    sys.exit(1 if r.failures else 0)
+    print(f"wrote {out}: {len(cases)} cases, {failures} failures")
+    sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":
