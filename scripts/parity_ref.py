@@ -574,6 +574,33 @@ def stage_ours(only=None):
             record(name + "_nb_packed", oppl({"params": packed_nb}))
             record(name + "_nb_bits_per_element",
                    round(max(l.bits_per_element for l in nb_leaves), 3))
+            # Shipping NB configuration: outliers CAPPED at
+            # quantization time (the RTL's bounded SCOPE routing,
+            # rtl/MicroScopiQ/scope.v budget) => ~4 bits/elem. The
+            # reference never caps, so there is no ref twin; the gate
+            # is the decision-exactness contract — capped fake-quant
+            # ppl == capped NB-packed ppl — plus the bit budget.
+            qz_cap = make_quantizer()
+            qz_cap.max_outliers_per_block = 2
+            capped, dec_cap = gptq_quantize_model(
+                "opt", ocfg, oparams, calib, quantizer=qz_cap,
+                blocksize=GPTQ_CFG["blocksize"],
+                percdamp=GPTQ_CFG["percdamp"], groups=opt_group,
+                verbose=False, collect_decisions=True)
+            record(name + "_cap2_fake", oppl(capped))
+            packed_cap = pack_params(
+                capped["params"], specs_o,
+                skip=("embed_tokens", "embed_positions", "lm_head"),
+                outlier_budget=2, outlier_transport="compact",
+                decisions=dec_cap)
+            cap_leaves = [
+                l for l in jax.tree_util.tree_leaves(
+                    packed_cap,
+                    is_leaf=lambda x: isinstance(x, PackedOutlierNB))
+                if isinstance(l, PackedOutlierNB)]
+            record(name + "_cap2_nb_packed", oppl({"params": packed_cap}))
+            record(name + "_cap2_nb_bits_per_element",
+                   round(max(l.bits_per_element for l in cap_leaves), 3))
 
     if "rtn_mxfp6_block32" in todo:
         specs6 = finalize_mx_specs({
@@ -640,7 +667,9 @@ def stage_ours(only=None):
             def h2o_run(mk):
                 cache = mk()
                 logits = lmodel.apply(
-                    lparams, ids, positions=_jnp.arange(S)[None],
+                    lparams, ids,
+                    positions=_jnp.broadcast_to(
+                        _jnp.arange(S)[None], (B, S)),
                     cache=cache, last_only=True)
                 st = cache.finalize()
 
@@ -697,6 +726,13 @@ def stage_report():
             c["our_nb_packed_ppl"] = ours[name + "_nb_packed"]
             c["nb_bits_per_element"] = ours.get(
                 name + "_nb_bits_per_element")
+        if name + "_cap2_nb_packed" in ours:
+            c["cap2"] = {
+                "fake_ppl": ours[name + "_cap2_fake"],
+                "nb_packed_ppl": ours[name + "_cap2_nb_packed"],
+                "bits_per_element": ours.get(
+                    name + "_cap2_nb_bits_per_element"),
+            }
         report["configs"][name] = c
     ok = True
     for name, c in report["configs"].items():

@@ -45,9 +45,12 @@ R03_REQUIRED = {
     ("PARITY_r02.json", {"dense", "gptq_int2_fp4_block16",
                          "rtn_mxfp6_block32"}),
     ("PARITY_r03.json", R03_REQUIRED),
+    ("PARITY_r05.json", R03_REQUIRED),
 ])
 def test_committed_parity_report_passes(report, required):
     path = os.path.join(REPO, report)
+    if not os.path.exists(path):
+        pytest.skip(f"{report} not committed in this checkout")
     with open(path) as f:
         rep = json.load(f)
     configs = rep["configs"]
@@ -56,9 +59,31 @@ def test_committed_parity_report_passes(report, required):
     for name, c in configs.items():
         assert abs(c["ref_ppl"] - c["our_ppl"]) <= GATE, (name, c)
         assert c["pass"], (name, c)
-        # the packed serving tree must track its fake-quant twin closely
-        if "our_packed_ppl" in c:
-            assert abs(c["our_packed_ppl"] - c["our_ppl"]) <= 0.05, (name, c)
+        # the packed serving trees must track their fake-quant twin
+        # closely (emi8m + r5's compact NB, which is decision-exact)
+        for k in ("our_packed_ppl", "our_nb_packed_ppl"):
+            if k in c:
+                assert abs(c[k] - c["our_ppl"]) <= 0.05, (name, k, c)
+
+
+def test_r05_report_new_arms():
+    """r5 additions (VERDICT r4 ask #3): the NB compact-transport ppl
+    arm and the H2O-quant-vs-dense-oracle arm at model scale."""
+    path = os.path.join(REPO, "PARITY_r05.json")
+    if not os.path.exists(path):
+        pytest.skip("PARITY_r05.json not committed in this checkout")
+    with open(path) as f:
+        rep = json.load(f)
+    c = rep["configs"]["gptq_int2_fp4_block16"]
+    # uncapped NB: decision-exact vs the fake-quant twin (parity arm)
+    assert "our_nb_packed_ppl" in c
+    assert abs(c["our_nb_packed_ppl"] - c["our_ppl"]) <= 0.05
+    # capped NB (the shipping config): exactness AND the ~4-bit budget
+    cap = c["cap2"]
+    assert abs(cap["nb_packed_ppl"] - cap["fake_ppl"]) <= 0.05
+    assert cap["bits_per_element"] <= 4.5
+    assert rep["h2o_quant"]["agreement"] >= 0.9
+    assert rep["h2o_quant"]["pass"]
 
 
 def test_r03_report_covers_required_knobs():
