@@ -18,7 +18,7 @@ vlm/llava.py:90-141):
      agreement of quant-KV (KIVI-4bit) vs dense-KV on the same
      multimodal prompts.
 
-Writes VLM_r04.json.
+Writes VLM_r05.json (r5: measured 32L packed image prefill, 128-token KV agreement; the TRAINED accuracy probe is scripts/vlm_probe.py).
 """
 
 import json
@@ -117,6 +117,42 @@ def main():
             lambda a: a.block_until_ready() if hasattr(
                 a, "block_until_ready") else a, packed)
         art["prefill_packed_fp6"] = bench_prefill(packed, "packed")
+
+        # r5 (VERDICT r4 missing #3): MEASURED full-depth 32L packed
+        # image prefill, not an extrapolation. The packed text tower
+        # fits one chip at 32L (dense bf16 does not). Layer VALUES are
+        # replicated from the 8L pack into 32 DISTINCT device buffers
+        # (full HBM residency; prefill time is a layout property).
+        FULL = 32
+        if layers < FULL:
+            import jax.numpy as _jnp
+
+            @jax.jit
+            def _copy(t):
+                return jax.tree_util.tree_map(lambda a: a + 0, t)
+
+            mt = dict(packed["params"]["model"])
+            for i in range(layers, FULL):
+                mt[f"layers_{i}"] = _copy(mt[f"layers_{i % layers}"])
+            packed_full = {"params": dict(packed["params"])}
+            packed_full["params"]["model"] = mt
+            import dataclasses as _dc
+            cfg_full = _dc.replace(
+                cfg, text=_dc.replace(cfg.text, num_hidden_layers=FULL))
+            model_full = LlavaForCausalLM(cfg_full)
+            saved_model = model
+            try:
+                # rebind the closure cell bench_prefill reads
+                model = model_full           # noqa: F811
+                art["prefill_packed_fp6_fulldepth"] = dict(
+                    bench_prefill(packed_full, "packed_32L"),
+                    layers=FULL, measured=True)
+            finally:
+                model = saved_model
+            for i in range(layers, FULL):
+                for leaf in jax.tree_util.tree_leaves(mt[f"layers_{i}"]):
+                    if hasattr(leaf, "delete"):
+                        leaf.delete()
         for leaf in jax.tree_util.tree_leaves(packed):
             if hasattr(leaf, "delete"):
                 leaf.delete()
@@ -142,16 +178,52 @@ def main():
                           pixel_values=jnp.asarray(tpix),
                           image_token_mask=jnp.asarray(tmask))
 
-    out_dense = generate_mm(tmodel, tparams, tids, tmask, tpix,
-                            max_new_tokens=12)
-    out_quant = generate_mm(tmodel, tparams, tids, tmask, tpix,
-                            max_new_tokens=12, cache_kind="quant",
-                            quant_cfg=QuantKVConfig(bits=4, gap=8,
-                                                    v_group=tiny.text.head_dim))
+    # r5: 128-token horizon (the r4 artifact covered only 12), on the
+    # TRAINED probe model when its checkpoint exists — an untrained
+    # model's argmax margins are ~0, so every arm diverges on numeric
+    # noise and long-horizon agreement is pure noise (measured 0.23 on
+    # the untrained toy vs 12-token 1.0).
+    KV_TOKENS = 128
+    probe_ckpt = sorted(pathlib.Path("/tmp").glob("vlm_probe_params_*"))
+    if probe_ckpt:
+        import importlib.util
+        import pickle
+        spec_ = importlib.util.spec_from_file_location(
+            "vlm_probe", pathlib.Path(__file__).parent / "vlm_probe.py")
+        vp = importlib.util.module_from_spec(spec_)
+        spec_.loader.exec_module(vp)
+        pcfg, pmodel = vp.probe_model()
+        pparams = pickle.loads(probe_ckpt[-1].read_bytes())
+        pimg, _ = vp.sample_images(np.random.default_rng(5), 1)
+        pn = pcfg.num_image_tokens
+        pids = np.zeros((1, pn + 2), np.int32)
+        pids[0, 0] = vp.BOS
+        pids[0, -1] = vp.Q0 + 3
+        pids = np.roll(pids, 0)
+        pm = np.zeros((1, pn + 2), bool)
+        pm[0, 1:1 + pn] = True
+        out_dense = generate_mm(pmodel, pparams, pids, pm, pimg,
+                                max_new_tokens=KV_TOKENS)
+        out_quant = generate_mm(
+            pmodel, pparams, pids, pm, pimg,
+            max_new_tokens=KV_TOKENS, cache_kind="quant",
+            quant_cfg=QuantKVConfig(bits=4, gap=8,
+                                    v_group=pcfg.text.head_dim))
+        model_note = "trained probe model (scripts/vlm_probe.py ckpt)"
+    else:
+        out_dense = generate_mm(tmodel, tparams, tids, tmask, tpix,
+                                max_new_tokens=KV_TOKENS)
+        out_quant = generate_mm(
+            tmodel, tparams, tids, tmask, tpix,
+            max_new_tokens=KV_TOKENS, cache_kind="quant",
+            quant_cfg=QuantKVConfig(bits=4, gap=8,
+                                    v_group=tiny.text.head_dim))
+        model_note = ("untrained toy (probe ckpt absent): agreement is "
+                      "noise at this horizon")
     agree = float((out_dense == out_quant).mean())
     art["kv_fidelity"] = {
         "kivi4_vs_dense_token_agreement": round(agree, 4),
-        "tokens": int(out_dense.size)}
+        "tokens": int(out_dense.size), "model": model_note}
     print("kv agreement:", agree, flush=True)
 
     # real eval_vqa harness end-to-end (toy score, pipeline proof)
@@ -182,7 +254,7 @@ def main():
     print("vqa pipeline:", art["vqa_pipeline"], flush=True)
 
     art["backend"] = jax.default_backend()
-    out = pathlib.Path(__file__).resolve().parent.parent / "VLM_r04.json"
+    out = pathlib.Path(__file__).resolve().parent.parent / "VLM_r05.json"
     out.write_text(json.dumps(art, indent=1))
     print("wrote", out)
 

@@ -70,6 +70,32 @@ def build_batch(rng, task_vocab, B, n_queries):
     return ids, mask, pix, q, ans
 
 
+VOCAB = 2 + NCELL + NCOLOR           # BOS, PAD, queries, colors
+BOS, Q0, C0 = 0, 2, 2 + NCELL
+TASK_VOCAB = (BOS, Q0, C0)
+
+
+def probe_model():
+    """The trained-probe LLaVA config/model (shared with vlm_bench's
+    long-horizon KV-agreement section, which loads this model's saved
+    params — an untrained model's near-zero argmax margins make long
+    agreement pure noise)."""
+    from microscopiq_tpu.models import LlamaConfig
+    from microscopiq_tpu.vlm.clip import CLIPVisionConfig
+    from microscopiq_tpu.vlm.llava import LlavaConfig, LlavaForCausalLM
+
+    text = LlamaConfig.tiny(num_hidden_layers=2, hidden_size=128,
+                            num_attention_heads=8, num_key_value_heads=2,
+                            intermediate_size=256, vocab_size=VOCAB,
+                            max_position_embeddings=256)
+    vis = CLIPVisionConfig.tiny(image_size=64, patch_size=8,
+                                hidden_size=64, intermediate_size=128)
+    cfg = LlavaConfig(text=text, vision=vis, projector_type="linear",
+                      vision_select_feature="patch")
+    assert cfg.num_image_tokens == NCELL
+    return cfg, LlavaForCausalLM(cfg, use_pallas=False)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -78,28 +104,15 @@ def main():
 
     from microscopiq_tpu.eval.generate import _make_cache
     from microscopiq_tpu.kv.cache import QuantKVConfig
-    from microscopiq_tpu.models import LlamaConfig
     from microscopiq_tpu.specs import finalize_mx_specs
-    from microscopiq_tpu.vlm.clip import CLIPVisionConfig
-    from microscopiq_tpu.vlm.llava import LlavaConfig, LlavaForCausalLM
 
     steps = 1200
     if "--steps" in sys.argv:
         steps = int(sys.argv[sys.argv.index("--steps") + 1])
 
-    vocab = 2 + NCELL + NCOLOR           # BOS, PAD, queries, colors
-    BOS, Q0, C0 = 0, 2, 2 + NCELL
-    task_vocab = (BOS, Q0, C0)
-    text = LlamaConfig.tiny(num_hidden_layers=2, hidden_size=128,
-                            num_attention_heads=8, num_key_value_heads=2,
-                            intermediate_size=256, vocab_size=vocab,
-                            max_position_embeddings=256)
-    vis = CLIPVisionConfig.tiny(image_size=64, patch_size=8,
-                                hidden_size=64, intermediate_size=128)
-    cfg = LlavaConfig(text=text, vision=vis, projector_type="linear",
-                      vision_select_feature="patch")
-    assert cfg.num_image_tokens == NCELL
-    model = LlavaForCausalLM(cfg, use_pallas=False)
+    task_vocab = TASK_VOCAB
+    cfg, model = probe_model()
+    text = cfg.text
 
     rng = np.random.default_rng(0)
     NQ = 8
