@@ -351,14 +351,32 @@ def main():
         try:
             import shutil
 
-            from microscopiq_tpu.utils.observability import (
-                device_kernel_stats, trace)
+            from microscopiq_tpu.utils import observability as obs
             d = "/tmp/bench_prefill_trace"
             shutil.rmtree(d, ignore_errors=True)
-            with trace(d):
+            with obs.trace(d):
                 timed_prefill()
-            st = device_kernel_stats(d)
-            ttft_dev = sum(a["total_us"] for a in st.values()) / 1e6
+            # interval-UNION of device events: rows overlap both across
+            # streams (DMA vs compute) and within one lane (op
+            # hierarchy), so any plain sum double-counts (r5: a summed
+            # 186 ms "device" inside a 120 ms wall)
+            iv = []
+            for proc, ev in obs._iter_trace_events(d):
+                if any(t in proc for t in ("/device:", "TPU", "XLA Ops")):
+                    ts = float(ev.get("ts", 0.0))
+                    iv.append((ts, ts + float(ev["dur"])))
+            iv.sort()
+            covered, cur_s, cur_e = 0.0, None, None
+            for s, e in iv:
+                if cur_e is None or s > cur_e:
+                    if cur_e is not None:
+                        covered += cur_e - cur_s
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            if cur_e is not None:
+                covered += cur_e - cur_s
+                ttft_dev = covered / 1e6
         except Exception:  # noqa: BLE001
             pass
         out = {"tps": B * STEPS / tb, "step_s": tb / STEPS,
