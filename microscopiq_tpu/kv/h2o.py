@@ -359,3 +359,143 @@ class QuantH2OCache:
 
     def finalize(self) -> QuantH2OKVState:
         return self._s
+
+
+# ---------------------------------------------------------------------------
+# H2O x continuous batching: per-slot heavy-hitter eviction for the
+# serving engine's slot pool (serve/engine.py). Same policy as H2OCache
+# but every batch row is an INDEPENDENT request at its own depth: the
+# seen-count is a (n_slots,) vector, prefill writes one admitted slot's
+# rows, and decode evicts per-slot against per-slot recent windows.
+# ---------------------------------------------------------------------------
+@flax.struct.dataclass
+class SlotH2OKVState:
+    k: jax.Array        # (L, B, budget, KVH, hd)
+    v: jax.Array
+    pos: jax.Array      # (L, B, budget) int32; -1 = empty
+    score: jax.Array    # (L, B, budget) f32
+    lengths: jax.Array  # (B,) int32 — tokens SEEN per slot
+
+
+def init_slot_h2o_cache(n_layers, n_slots, budget, kv_heads, head_dim,
+                        dtype=jnp.bfloat16) -> SlotH2OKVState:
+    shape = (n_layers, n_slots, budget, kv_heads, head_dim)
+    return SlotH2OKVState(
+        k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+        pos=jnp.full((n_layers, n_slots, budget), -1, jnp.int32),
+        score=jnp.zeros((n_layers, n_slots, budget), jnp.float32),
+        lengths=jnp.zeros((n_slots,), jnp.int32))
+
+
+class SlotH2OPrefillCache:
+    """Prefill one admitted slot of the H2O slot pool (B=1 traffic).
+
+    ids are right-padded to a bucket: pad QUERY rows are masked to
+    nothing (their softmax mass degenerates to a uniform 1/budget per
+    slot — a constant offset that cannot change any argmin victim), and
+    pad KEY rows are recorded with pos=-1 so they never receive
+    attention and are first in line for eviction."""
+
+    def __init__(self, state: SlotH2OKVState, slot, true_len,
+                 recent_window: int = 8):
+        self.state = state
+        self.slot = slot
+        self.true_len = true_len
+        self.recent_window = int(recent_window)
+        self._k = state.k
+        self._v = state.v
+        self._pos = state.pos
+        self._score = state.score
+
+    def update(self, layer_idx: int, k, v, positions, mask):
+        B, S, KVH, hd = k.shape
+        assert B == 1, "slot prefill is one admitted request"
+        budget = self._k.shape[2]
+        assert S <= budget, (S, budget)
+        slot = self.slot
+        real = positions[0] < self.true_len                 # (S,)
+        kl = jax.lax.dynamic_update_slice(
+            self._k[layer_idx], k.astype(self._k.dtype), (slot, 0, 0, 0))
+        vl = jax.lax.dynamic_update_slice(
+            self._v[layer_idx], v.astype(self._v.dtype), (slot, 0, 0, 0))
+        pos_row = jnp.concatenate(
+            [jnp.where(real, positions[0].astype(jnp.int32), -1),
+             jnp.full((budget - S,), -1, jnp.int32)])       # (budget,)
+        self._k = self._k.at[layer_idx].set(kl)
+        self._v = self._v.at[layer_idx].set(vl)
+        self._pos = self._pos.at[layer_idx, slot].set(pos_row)
+        self._score = self._score.at[layer_idx, slot].set(0.0)
+
+        ks = jax.lax.dynamic_slice(
+            kl, (slot, 0, 0, 0), (1, budget, KVH, hd))
+        vs = jax.lax.dynamic_slice(
+            vl, (slot, 0, 0, 0), (1, budget, KVH, hd))
+        q_pos = positions                                   # (1, S)
+        amask = ((pos_row[None, None, :] <= q_pos[..., None]) &
+                 (pos_row[None, None, :] >= 0) &
+                 real[None, :, None])
+        return ks, vs, amask[:, None]
+
+    def observe(self, layer_idx: int, probs):
+        self._score = self._score.at[layer_idx, self.slot].add(
+            probs[0].astype(jnp.float32))
+
+    def finalize(self, true_len) -> SlotH2OKVState:
+        return SlotH2OKVState(
+            self._k, self._v, self._pos, self._score,
+            self.state.lengths.at[self.slot].set(
+                jnp.asarray(true_len, jnp.int32)))
+
+
+class SlotH2ODecodeCache:
+    """One batched H2O decode step over independent slots. Inactive
+    slots still write/evict (their stores are garbage between requests
+    and fully reset at the next admit) but neither advance their length
+    nor accumulate score."""
+
+    def __init__(self, state: SlotH2OKVState, active,
+                 recent_window: int = 8):
+        self.state = state
+        self.active = active                                # (B,) bool
+        self.recent_window = int(recent_window)
+        self._k = state.k
+        self._v = state.v
+        self._pos = state.pos
+        self._score = state.score
+
+    def update(self, layer_idx: int, k, v, positions, mask):
+        B, S, KVH, hd = k.shape
+        assert S == 1, "slot decode is one token per slot"
+        budget = self._k.shape[2]
+        seen = self.state.lengths                            # (B,)
+        slot_pos = self._pos[layer_idx]                      # (B, budget)
+        protected = slot_pos >= (seen[:, None] - self.recent_window)
+        neg = jnp.where(protected, jnp.inf, self._score[layer_idx])
+        victim = jnp.argmin(neg, axis=1).astype(jnp.int32)
+        tgt = jnp.where(seen < budget,
+                        jnp.clip(seen, 0, budget - 1), victim)
+        bidx = jnp.arange(B)
+        kl = self._k[layer_idx].at[bidx, tgt].set(
+            k[:, 0].astype(self._k.dtype))
+        vl = self._v[layer_idx].at[bidx, tgt].set(
+            v[:, 0].astype(self._v.dtype))
+        self._k = self._k.at[layer_idx].set(kl)
+        self._v = self._v.at[layer_idx].set(vl)
+        self._pos = self._pos.at[layer_idx, bidx, tgt].set(
+            positions[:, 0].astype(jnp.int32))
+        self._score = self._score.at[layer_idx, bidx, tgt].set(0.0)
+
+        slot_pos = self._pos[layer_idx]
+        amask = ((slot_pos[:, None, :] <= positions[..., None]) &
+                 (slot_pos[:, None, :] >= 0))
+        return kl, vl, amask[:, None]
+
+    def observe(self, layer_idx: int, probs):
+        self._score = self._score.at[layer_idx].add(
+            jnp.where(self.active[:, None],
+                      probs.astype(jnp.float32), 0.0))
+
+    def finalize(self) -> SlotH2OKVState:
+        return SlotH2OKVState(
+            self._k, self._v, self._pos, self._score,
+            self.state.lengths + self.active.astype(jnp.int32))

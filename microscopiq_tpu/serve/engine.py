@@ -160,10 +160,13 @@ class BatchEngine:
                  max_len: int = 512,
                  prompt_buckets=(32, 64, 128, 256),
                  cache_dtype=jnp.bfloat16, seed: int = 0,
-                 cache_kind: str = "dense", quant_cfg=None):
+                 cache_kind: str = "dense", quant_cfg=None,
+                 h2o_budget: int = 0, h2o_recent: int = 8):
         from ..kv.cache import (QuantKVConfig, SlotQuantizedDecodeCache,
                                 SlotQuantPrefillCache,
                                 init_slot_quant_cache)
+        from ..kv.h2o import (SlotH2ODecodeCache, SlotH2OPrefillCache,
+                              init_slot_h2o_cache)
 
         cfg = model.cfg
         self.model = model
@@ -172,7 +175,20 @@ class BatchEngine:
         self.max_len = max_len
         self.buckets = tuple(sorted(prompt_buckets))
         self.cache_kind = cache_kind
-        if cache_kind == "quant":
+        if cache_kind == "h2o":
+            # heavy-hitter eviction per slot: kv capacity is the H2O
+            # budget (>= the largest prompt bucket so prefill fits);
+            # max_len still bounds positions/max_new_tokens bookkeeping
+            budget = h2o_budget or max(self.buckets)
+            assert budget >= max(self.buckets), (budget, self.buckets)
+            self.state = init_slot_h2o_cache(
+                cfg.num_hidden_layers, n_slots, budget,
+                cfg.num_key_value_heads, cfg.head_dim, cache_dtype)
+            mk_prefill = lambda st, slot, tl: SlotH2OPrefillCache(
+                st, slot, tl, h2o_recent)
+            mk_decode = lambda st, act: SlotH2ODecodeCache(
+                st, act, h2o_recent)
+        elif cache_kind == "quant":
             qcfg = quant_cfg or QuantKVConfig()
             assert max_len % qcfg.gap == 0
             self.state = init_slot_quant_cache(

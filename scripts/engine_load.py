@@ -56,7 +56,8 @@ def run_arm(tag, cache_kind, layers, n_requests, rate, seed=0):
     engine = BatchEngine(model, params, n_slots=8, max_len=512,
                         prompt_buckets=(32, 64, 128, 256),
                         cache_kind=cache_kind,
-                        quant_cfg=qcfg if cache_kind == "quant" else None)
+                        quant_cfg=qcfg if cache_kind == "quant" else None,
+                        h2o_budget=256, h2o_recent=16)
 
     rng = np.random.default_rng(seed)
     lens = rng.choice([24, 48, 96, 200], n_requests,
@@ -154,11 +155,17 @@ def main():
 
     art = {"model": f"Llama-3-8B dims at {layers}L, MX-FP6 emi8 packed "
                     "weights, 8 slots, buckets (32,64,128,256)",
-           "workload": f"{n_requests} requests, Poisson {rate}/s, "
+           "workload": f"{n_requests} requests, Poisson arrivals, "
                        "prompt lengths {24,48,96,200}, 48 new tokens",
            "arms": {}}
-    for tag, kind in (("dense_kv", "dense"), ("quant_kv_kivi4", "quant")):
+    for tag, kind in (("dense_kv", "dense"), ("quant_kv_kivi4", "quant"),
+                      ("h2o_budget256", "h2o")):
         art["arms"][tag] = run_arm(tag, kind, layers, n_requests, rate)
+    # moderate-load point: arrivals well under capacity, so TTFT
+    # reflects prefill latency instead of queueing
+    art["arms"]["quant_kv_kivi4_moderate"] = run_arm(
+        "quant_kv_kivi4_moderate", "quant", layers, max(n_requests // 2,
+                                                        16), rate / 3.0)
     out = pathlib.Path(__file__).resolve().parent.parent / \
         "ENGINE_r05.json"
     out.write_text(json.dumps(art, indent=1))

@@ -236,3 +236,59 @@ def test_engine_rejects_oversized_prompt_without_stalling(tiny_model):
     eng.run_until_drained()
     assert r_big.done and r_big.error and not r_big.out_tokens
     assert r_ok.out_tokens == _reference(model, params, ok, 4)
+
+
+def test_engine_h2o_unconstrained_budget_matches_dense(tiny_model):
+    """With an H2O budget large enough that nothing is ever evicted,
+    the per-slot heavy-hitter engine must be token-identical to the
+    dense engine — the eviction machinery is exercised (scores, slot
+    writes, per-slot lengths) but every decision keeps everything."""
+    model, params, cfg = tiny_model
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, cfg.vocab_size, (s,)).astype(np.int32)
+               for s in (5, 11, 8)]
+    eng = BatchEngine(model, params, n_slots=4, max_len=64,
+                      prompt_buckets=(16,), cache_kind="h2o",
+                      h2o_budget=48)
+    outs = eng.generate(prompts, max_new_tokens=6)
+    for p, got in zip(prompts, outs):
+        assert got == _reference(model, params, p, 6)
+
+
+def test_engine_h2o_slot_reuse_and_tight_budget(tiny_model):
+    """Tight budget: decode evicts (budget < prompt+new for the long
+    prompts) yet the engine must stay live, complete every request
+    through slot reuse, and emit the requested token counts."""
+    model, params, cfg = tiny_model
+    rng = np.random.default_rng(8)
+    prompts = [rng.integers(0, cfg.vocab_size, (s,)).astype(np.int32)
+               for s in (14, 15, 13, 16, 12)]
+    eng = BatchEngine(model, params, n_slots=2, max_len=64,
+                      prompt_buckets=(16,), cache_kind="h2o",
+                      h2o_budget=16, h2o_recent=4)
+    outs = eng.generate(prompts, max_new_tokens=8)
+    assert all(len(o) == 8 for o in outs)
+    # eviction happened: every request exceeded the budget
+    assert all(len(p) + 8 > 16 for p in prompts)
+
+
+def test_engine_h2o_per_slot_depth_independence(tiny_model):
+    """A late-admitted short request must decode exactly as it would
+    alone while sharing the batch with a deep slot (per-slot seen
+    counts, protected windows, and masks must not leak across slots)."""
+    model, params, cfg = tiny_model
+    rng = np.random.default_rng(9)
+    long_p = rng.integers(0, cfg.vocab_size, (15,)).astype(np.int32)
+    short_p = rng.integers(0, cfg.vocab_size, (4,)).astype(np.int32)
+    eng = BatchEngine(model, params, n_slots=2, max_len=64,
+                      prompt_buckets=(16,), cache_kind="h2o",
+                      h2o_budget=48)
+    r_long = Request(long_p, max_new_tokens=10)
+    r_short = Request(short_p, max_new_tokens=5)
+    eng.submit(r_long)
+    for _ in range(3):                       # long one runs ahead
+        eng.step()
+    eng.submit(r_short)
+    eng.run_until_drained()
+    assert r_long.out_tokens == _reference(model, params, long_p, 10)
+    assert r_short.out_tokens == _reference(model, params, short_p, 5)
