@@ -227,6 +227,24 @@ def main():
             del st
             return dt
 
+        def traced_prefill_device_s():
+            # device-busy span of ONE prefill (interval union — plain
+            # event sums double-count overlapping trace rows). The
+            # cache-state build happens OUTSIDE the trace window, same
+            # as the wall TTFT excludes it via block_until_ready.
+            import shutil
+
+            from microscopiq_tpu.utils import observability as obs
+            st = make_state()
+            jax.block_until_ready(st)
+            d = "/tmp/bench_prefill_trace"
+            shutil.rmtree(d, ignore_errors=True)
+            with obs.trace(d):
+                tok, st = prefill(params, ids, st)
+                jax.block_until_ready(tok)
+            del st
+            return obs.device_busy_us(d) / 1e6
+
         def release():
             # python GC is not enough through the PJRT plugin: free the
             # device buffers explicitly so the next phase gets clean HBM
@@ -234,7 +252,8 @@ def main():
                 if hasattr(leaf, "delete"):
                     leaf.delete()
 
-        return timed_decode, timed_prefill, params, release
+        return (timed_decode, timed_prefill, params, release,
+                traced_prefill_device_s)
 
     phase = os.environ.get("MICROSCOPIQ_BENCH_PHASE")
     if phase is None:
@@ -336,7 +355,8 @@ def main():
     elif phase == "full":
         if os.environ.get("MICROSCOPIQ_BENCH_FAIL") == "full":
             raise SystemExit("forced failure (degraded-path test hook)")
-        timed_decode, timed_prefill, params, release = build(
+        (timed_decode, timed_prefill, params, release,
+         traced_prefill_device_s) = build(
             full_layers, specs)
         weight_bytes = _tree_bytes(params)
         kv_bytes = 2 * full_layers * B * max_len * 8 * 128 * 2
@@ -349,34 +369,7 @@ def main():
         # what local serving would see
         ttft_dev = None
         try:
-            import shutil
-
-            from microscopiq_tpu.utils import observability as obs
-            d = "/tmp/bench_prefill_trace"
-            shutil.rmtree(d, ignore_errors=True)
-            with obs.trace(d):
-                timed_prefill()
-            # interval-UNION of device events: rows overlap both across
-            # streams (DMA vs compute) and within one lane (op
-            # hierarchy), so any plain sum double-counts (r5: a summed
-            # 186 ms "device" inside a 120 ms wall)
-            iv = []
-            for proc, ev in obs._iter_trace_events(d):
-                if any(t in proc for t in ("/device:", "TPU", "XLA Ops")):
-                    ts = float(ev.get("ts", 0.0))
-                    iv.append((ts, ts + float(ev["dur"])))
-            iv.sort()
-            covered, cur_s, cur_e = 0.0, None, None
-            for s, e in iv:
-                if cur_e is None or s > cur_e:
-                    if cur_e is not None:
-                        covered += cur_e - cur_s
-                    cur_s, cur_e = s, e
-                else:
-                    cur_e = max(cur_e, e)
-            if cur_e is not None:
-                covered += cur_e - cur_s
-                ttft_dev = covered / 1e6
+            ttft_dev = traced_prefill_device_s()
         except Exception:  # noqa: BLE001
             pass
         out = {"tps": B * STEPS / tb, "step_s": tb / STEPS,
@@ -393,7 +386,8 @@ def main():
         best = {tag: 9e9 for tag in runs}
         bestp = {tag: 9e9 for tag in runs}
         for _ in range(6):                # interleave to cancel drift
-            for tag, (timed, timedp, _params, _rel) in runs.items():
+            for tag, (timed, timedp, _params, _rel,
+                      _tdev) in runs.items():
                 best[tag] = min(best[tag], timed())
                 bestp[tag] = min(bestp[tag], timedp())
         print(json.dumps({"dense_s": best["dense"],

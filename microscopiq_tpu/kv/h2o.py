@@ -62,6 +62,13 @@ class H2OCache:
     def __init__(self, state: H2OKVState, recent_window: int = 8):
         self.state = state
         self.recent_window = int(recent_window)
+        budget = state.k.shape[2]
+        if self.recent_window >= budget:
+            # with every slot protected the masked argmin would return
+            # slot 0 and silently evict a heavy hitter each step
+            raise ValueError(
+                f"recent_window={recent_window} must be < the H2O "
+                f"budget ({budget}) or eviction degenerates")
         self._k = state.k
         self._v = state.v
         self._pos = state.pos
@@ -251,6 +258,11 @@ class QuantH2OCache:
     def __init__(self, state: QuantH2OKVState, recent_window: int = 8):
         self.state = state
         self.recent_window = int(recent_window)
+        budget = state.pos.shape[2]
+        if self.recent_window >= budget:
+            raise ValueError(
+                f"recent_window={recent_window} must be < the H2O "
+                f"budget ({budget}) or eviction degenerates")
         self._s = state
 
     # -- internals ------------------------------------------------------
@@ -396,12 +408,10 @@ class SlotH2OPrefillCache:
     pad KEY rows are recorded with pos=-1 so they never receive
     attention and are first in line for eviction."""
 
-    def __init__(self, state: SlotH2OKVState, slot, true_len,
-                 recent_window: int = 8):
+    def __init__(self, state: SlotH2OKVState, slot, true_len):
         self.state = state
         self.slot = slot
         self.true_len = true_len
-        self.recent_window = int(recent_window)
         self._k = state.k
         self._v = state.v
         self._pos = state.pos
@@ -458,6 +468,11 @@ class SlotH2ODecodeCache:
         self.state = state
         self.active = active                                # (B,) bool
         self.recent_window = int(recent_window)
+        budget = state.pos.shape[2]
+        if self.recent_window >= budget:
+            raise ValueError(
+                f"recent_window={recent_window} must be < the H2O "
+                f"budget ({budget}) or eviction degenerates")
         self._k = state.k
         self._v = state.v
         self._pos = state.pos

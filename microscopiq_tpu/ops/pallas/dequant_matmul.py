@@ -911,9 +911,14 @@ def dequant_matmul_nb(x: jax.Array, w: "pk.PackedOutlierNB",
     env = os.environ.get
     # tile M: a (TN, TM) f32 accumulator PAIR lives in VMEM scratch, so
     # an unbounded TM (prefill-sized M) would blow VMEM silently
-    # (ADVICE r4). TM<=256 keeps both accumulators <= 1 MB.
-    TM = int(env("MICROSCOPIQ_NB_TM", 0)) or min(
-        _round_up(max(M, 1), 8), 256)
+    # (ADVICE r4). TM<=256 keeps both accumulators <= 1 MB; the tile
+    # splits M EVENLY so M just above a multiple of 256 doesn't pad to
+    # a whole extra tile (M=272 -> 2 tiles of 136-pad-to-136, not
+    # 2x256).
+    Mq = max(M, 1)
+    n_mtiles = -(-Mq // 256)
+    TM = int(env("MICROSCOPIQ_NB_TM", 0)) or _round_up(
+        -(-Mq // n_mtiles), 8)
     TN = min(512, Np)
     # r4 sweep: TK=1024 beats 512 (75 vs 77 us)
     TK = int(env("MICROSCOPIQ_NB_TK", 0)) or 1024

@@ -185,7 +185,7 @@ class BatchEngine:
                 cfg.num_hidden_layers, n_slots, budget,
                 cfg.num_key_value_heads, cfg.head_dim, cache_dtype)
             mk_prefill = lambda st, slot, tl: SlotH2OPrefillCache(
-                st, slot, tl, h2o_recent)
+                st, slot, tl)
             mk_decode = lambda st, act: SlotH2ODecodeCache(
                 st, act, h2o_recent)
         elif cache_kind == "quant":

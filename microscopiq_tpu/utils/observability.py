@@ -152,3 +152,30 @@ def decode_token_stats(step_seconds: list, batch: int) -> dict:
         "p90_s": per_tok[int(0.9 * (len(per_tok) - 1))],
         "tokens_per_s": batch / statistics.median(per_tok),
     }
+
+
+def device_busy_us(trace_dir: str) -> float:
+    """Interval-UNION of device-stream event time in a trace.
+
+    Trace rows overlap both across streams (DMA vs compute) and within
+    one lane (op hierarchy), so summing durations double-counts — a
+    summed "device time" can exceed the wall clock. The union of
+    [ts, ts+dur) intervals is the honest device-busy span.
+    """
+    iv = []
+    for proc, ev in _iter_trace_events(trace_dir):
+        if any(t in proc for t in ("/device:", "TPU", "XLA Ops", "GPU")):
+            ts = float(ev.get("ts", 0.0))
+            iv.append((ts, ts + float(ev["dur"])))
+    iv.sort()
+    covered, cur_s, cur_e = 0.0, None, None
+    for s, e in iv:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                covered += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_e is not None:
+        covered += cur_e - cur_s
+    return covered

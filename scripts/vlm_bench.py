@@ -199,7 +199,6 @@ def main():
         pids = np.zeros((1, pn + 2), np.int32)
         pids[0, 0] = vp.BOS
         pids[0, -1] = vp.Q0 + 3
-        pids = np.roll(pids, 0)
         pm = np.zeros((1, pn + 2), bool)
         pm[0, 1:1 + pn] = True
         out_dense = generate_mm(pmodel, pparams, pids, pm, pimg,

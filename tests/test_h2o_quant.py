@@ -181,3 +181,77 @@ def test_quant_h2o_init_irregular_head_dim():
 
     with pytest.raises(ValueError, match="divisible by the packing"):
         init_quant_h2o_cache(1, 2, 8, 2, 9, bits=2)
+
+
+def test_slot_h2o_matches_batch_h2o_oracle_at_uniform_depth():
+    """Policy-correctness oracle (r5 review finding): at uniform slot
+    depths with identical token/score streams, the per-slot engine
+    cache must make EXACTLY the eviction decisions of the batched
+    H2OCache — same kept positions, same stores, same scores."""
+    from microscopiq_tpu.kv.h2o import (H2OCache, SlotH2ODecodeCache,
+                                        SlotH2OPrefillCache,
+                                        init_h2o_cache,
+                                        init_slot_h2o_cache)
+
+    L, B, budget, KVH, hd, recent = 1, 3, 8, 2, 4, 2
+    S = 6
+    rng = np.random.default_rng(0)
+    k0 = rng.standard_normal((B, S, KVH, hd)).astype(np.float32)
+    v0 = rng.standard_normal((B, S, KVH, hd)).astype(np.float32)
+    pos = np.broadcast_to(np.arange(S), (B, S)).astype(np.int32)
+    probs0 = rng.random((B, budget)).astype(np.float32)
+
+    st = init_h2o_cache(L, B, budget, KVH, hd, jnp.float32)
+    c = H2OCache(st, recent_window=recent)
+    c.update(0, jnp.asarray(k0), jnp.asarray(v0), jnp.asarray(pos), None)
+    c.observe(0, jnp.asarray(probs0))
+    st = c.finalize()
+
+    sst = init_slot_h2o_cache(L, B, budget, KVH, hd, jnp.float32)
+    for b in range(B):
+        pc = SlotH2OPrefillCache(sst, jnp.int32(b), jnp.int32(S))
+        pc.update(0, jnp.asarray(k0[b:b + 1]), jnp.asarray(v0[b:b + 1]),
+                  jnp.asarray(pos[b:b + 1]), None)
+        pc.observe(0, jnp.asarray(probs0[b:b + 1]))
+        sst = pc.finalize(S)
+
+    for t in range(S, S + 7):            # crosses the budget boundary
+        kt = rng.standard_normal((B, 1, KVH, hd)).astype(np.float32)
+        vt = rng.standard_normal((B, 1, KVH, hd)).astype(np.float32)
+        pt = np.full((B, 1), t, np.int32)
+        pr = rng.random((B, budget)).astype(np.float32)
+
+        c = H2OCache(st, recent_window=recent)
+        c.update(0, jnp.asarray(kt), jnp.asarray(vt), jnp.asarray(pt),
+                 None)
+        c.observe(0, jnp.asarray(pr))
+        st = c.finalize()
+
+        dc = SlotH2ODecodeCache(sst, jnp.ones((B,), bool), recent)
+        dc.update(0, jnp.asarray(kt), jnp.asarray(vt), jnp.asarray(pt),
+                  None)
+        dc.observe(0, jnp.asarray(pr))
+        sst = dc.finalize()
+
+        np.testing.assert_array_equal(np.asarray(st.pos),
+                                      np.asarray(sst.pos))
+        np.testing.assert_array_equal(np.asarray(st.k),
+                                      np.asarray(sst.k))
+        np.testing.assert_allclose(np.asarray(st.score),
+                                   np.asarray(sst.score), rtol=1e-6)
+        assert int(st.length) == int(sst.lengths[0])
+
+
+def test_h2o_recent_window_must_be_under_budget():
+    import pytest
+
+    from microscopiq_tpu.kv.h2o import (H2OCache, SlotH2ODecodeCache,
+                                        init_h2o_cache,
+                                        init_slot_h2o_cache)
+
+    st = init_h2o_cache(1, 1, 8, 2, 4)
+    with pytest.raises(ValueError, match="recent_window"):
+        H2OCache(st, recent_window=8)
+    sst = init_slot_h2o_cache(1, 2, 8, 2, 4)
+    with pytest.raises(ValueError, match="recent_window"):
+        SlotH2ODecodeCache(sst, jnp.ones((2,), bool), recent_window=9)

@@ -83,3 +83,29 @@ def test_trace_context_produces_parseable_dir(tmp_path):
     # fail, and host rows must exist when suffix filtering is off
     stats = device_kernel_stats(str(tmp_path / "tr"), device_only=False)
     assert isinstance(stats, dict)
+
+
+def test_device_busy_us_interval_union(tmp_path):
+    """Overlapping device rows must union, not sum (a summed 'device
+    time' exceeded the wall clock in bench.py before this)."""
+    import gzip
+    import json as _json
+
+    from microscopiq_tpu.utils.observability import device_busy_us
+
+    doc = {"traceEvents": [
+        {"ph": "M", "name": "process_name", "pid": 1,
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "name": "process_name", "pid": 2,
+         "args": {"name": "host"}},
+        {"ph": "X", "pid": 1, "ts": 0, "dur": 100, "name": "a"},
+        {"ph": "X", "pid": 1, "ts": 50, "dur": 100, "name": "b"},
+        {"ph": "X", "pid": 1, "ts": 300, "dur": 50, "name": "c"},
+        {"ph": "X", "pid": 2, "ts": 0, "dur": 9999, "name": "hostwork"},
+    ]}
+    d = tmp_path / "plugins"
+    d.mkdir()
+    with gzip.open(d / "x.trace.json.gz", "wt") as f:
+        _json.dump(doc, f)
+    # union: [0,150) + [300,350) = 200; host row excluded
+    assert device_busy_us(str(tmp_path)) == 200.0
