@@ -74,7 +74,7 @@ def main():
     results["backend"] = jax.default_backend()
     import json
     out = pathlib.Path(__file__).resolve().parent.parent / \
-        "TP_CHECK_r04.json"
+        "TP_CHECK_r05.json"
     out.write_text(json.dumps(results, indent=1))
     print("wrote", out)
     print("real-chip (1,1)-mesh compiled TP-Pallas OK")
