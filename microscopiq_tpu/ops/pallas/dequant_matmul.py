@@ -441,32 +441,31 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
         # so the kernel stays numerically equal to the reference twin
         # (which computes bf16-x dots) in both interpret and TPU modes
         x2 = x2.astype(jnp.bfloat16).astype(jnp.float32)
-    # prefer a TN that DIVIDES N: a ragged edge means jnp.pad — a full
-    # copy of the codes on every call (the lm_head's N=128256 cost
-    # 1.6 ms/step of pure pad-copies before this). TN=2048 first: the
-    # wider N-burst against the (NB, rows, N) layout is the other half
-    # of the sweep win (644 -> 715 GB/s at TM=8)
-    TN = int(env("MICROSCOPIQ_SAD_TN", 0)) or next(
-        (t for t in (2048, 1024, 896, 768, 640, 512, 384, 256, 128)
-         if N % t == 0), None)
-    if TN is None:
-        TN = 1024 if N >= 1024 else _round_up(N, 128)
+    # TN=2048 first: the wider N-burst against the (NB, rows, N) layout
+    # is half of the r3 sweep win (644 -> 715 GB/s at TM=8). N need NOT
+    # be divisible: Pallas masks the ragged edge tile (OOB code/scale
+    # reads land only in output columns >= N, which are sliced off, and
+    # _exp2_i32 clips garbage exponents so nothing non-finite appears).
+    # This replaced the old divisor ladder whose TN=128 fallback ran the
+    # lm_head (N=128256, largest divisor 128) at 373.6 GB/s of codes vs
+    # 692.0 ragged-TN=2048 — 1.85x, bit-identical (r5, /tmp sweep).
+    TN = int(env("MICROSCOPIQ_SAD_TN", 0)) or min(2048, _round_up(N, 128))
     TK = int(env("MICROSCOPIQ_SAD_TK", 0)) or max(4 * B, 1024)
     while TK > Kp and TK > B:
         TK //= 2
     TK = max(TK, B)
     while TK // B * TM * TN * 4 > 8 * 1024 * 1024:   # cap the partials
         TK //= 2
-    Mp, Np, Kp2 = _round_up(M, TM), _round_up(N, TN), _round_up(Kp, TK)
+    Mp, Kp2 = _round_up(M, TM), _round_up(Kp, TK)
     nbt, NBp = TK // B, Kp2 // B
 
     x2 = jnp.pad(x2, ((0, Mp - M), (0, Kp2 - x2.shape[-1])))
     xb = x2.reshape(Mp, NBp, B).transpose(1, 0, 2)   # (NBp, Mp, B), tiny
-    codes = jnp.pad(ww.codes, ((0, NBp - NB), (0, 0), (0, Np - N)))
-    se = jnp.pad(ww.scale_exp, ((0, NBp - NB), (0, Np - N)))
+    codes = jnp.pad(ww.codes, ((0, NBp - NB), (0, 0), (0, 0)))
+    se = jnp.pad(ww.scale_exp, ((0, NBp - NB), (0, 0)))
 
     nk = Kp2 // TK
-    grid = (Mp // TM, Np // TN, nk)
+    grid = (Mp // TM, -(-N // TN), nk)
 
     out = pl.pallas_call(
         functools.partial(_sad_kernel, nk=nk, fold=fold, decode=decode,
@@ -483,17 +482,17 @@ def dequant_matmul_sad(x: jax.Array, w: PackedMX, out_dtype=jnp.float32,
         ],
         out_specs=pl.BlockSpec((TM, TN), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Mp * Np * Kp2,
-            bytes_accessed=Mp * Kp2 * 2 + Np * Kp2 + Mp * Np * 4,
+            flops=2 * Mp * N * Kp2,
+            bytes_accessed=Mp * Kp2 * 2 + N * Kp2 + Mp * N * 4,
             transcendentals=0),
         interpret=interpret,
     )(xb, codes, se)
-    return out[:M, :N].reshape(lead + (N,))
+    return out[:M].reshape(lead + (N,))
 
 
 # ---------------------------------------------------------------------------

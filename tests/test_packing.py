@@ -414,3 +414,27 @@ def test_dequant_matmul_nb_kernel_multi_k_and_m_tiles(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(y_ref), rtol=0,
         atol=3e-6 * float(jnp.abs(y_ref).max()))
+
+
+@pytest.mark.parametrize("N", [200, 1000])
+def test_dequant_matmul_sad_ragged_n(monkeypatch, N):
+    """r5: the SAD GEMV no longer requires TN | N — the ragged edge
+    tile is masked by Pallas (the old divisor ladder fell to TN=128 on
+    the lm_head and ran at half rate). OOB reads land only in sliced-
+    off output columns and clipped exponents keep them finite."""
+    from microscopiq_tpu.ops.packing import pack_mx, to_serving_layout
+    from microscopiq_tpu.ops.pallas.dequant_matmul import (
+        dequant_matmul_reference, dequant_matmul_sad)
+
+    monkeypatch.setenv("MICROSCOPIQ_SAD_TN", "256")
+    rng = np.random.default_rng(3)
+    W = (rng.standard_normal((128, N)) * 0.5).astype(np.float32)
+    w = to_serving_layout(pack_mx(jnp.asarray(W), 8, "fp6_e3m2", 32,
+                                  axis=0, transport="emi8"))
+    x = jnp.asarray(rng.standard_normal((5, 128)), jnp.float32)
+    y = dequant_matmul_sad(x, w, interpret=True)
+    y_ref = dequant_matmul_reference(x, w)
+    assert y.shape == (5, N)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=0,
+        atol=3e-6 * float(jnp.abs(y_ref).max()))
