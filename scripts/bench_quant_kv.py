@@ -13,6 +13,7 @@ interleaved, min-of-k.
 """
 
 import json
+import os
 import pathlib
 import sys
 import time
@@ -48,7 +49,7 @@ def main():
 
     # B=4: unfused prefill attention scores ((B, H, S, S) f32) plus both
     # cache arms must fit 16 GB HBM alongside the packed weights
-    B, S0, STEPS = 4, 3072, 64
+    B, S0, STEPS = int(os.environ.get("MICROSCOPIQ_QKV_B", "4")), 3072, 64
     if not on_tpu:
         S0 = 96
     # v_group=hd: per-token V scales ride the lane-native fast path
